@@ -1,0 +1,23 @@
+"""emotiongestures_tpu — a TPU-native (JAX/XLA/Pallas) framework for
+audio-driven, diverse, emotional co-speech 3D gesture generation.
+
+Re-designed from scratch with the capabilities of the EmotionGestures
+reference (arXiv 2305.18891): a fused mel-spectrogram frontend, an SE-ResNet
+audio encoder, a TCN text encoder, a transformer gesture generator with
+spatial/temporal prior-pose memory, an emotion-conditioned CVAE prior for
+batched diversity sampling, GAN training, and a full evaluation suite
+(FGD, diversity, beat alignment, emotion accuracy, L2, MPJRE).
+
+Layout:
+  core/      losses, LR schedules, init schemes, precision policy
+  ops/       mel-spectrogram (JAX + Pallas), fused attention, memory ops
+  nn/        transformer blocks (post-LN), SE-ResNet, TCN
+  models/    generator, discriminators, classifiers, CVAE, FGD AE, baselines
+  data/      record codec + store (C++/python), datasets, vocab, pipelines
+  train/     jit-compiled train steps (classifier, GAN, CVAE, FGD, skeleton)
+  eval/      FGD/diversity/beat-align/L2/MPJRE metrics
+  parallel/  device-mesh sharding (data/tensor parallel)
+  cli/       reference-compatible command-line entry points
+"""
+
+__version__ = "0.1.0"
