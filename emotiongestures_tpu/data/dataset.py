@@ -1,0 +1,173 @@
+"""SpeechMotionDataset over GestureStore — the host-side sample path
+(data_loader/lmdb_loader_BEAT_full.py:120-276), lmdb+pyarrow replaced by
+the self-owned codec/store.
+
+Returns dict samples compatible with `make_batch` collation; the
+reference's three collate functions map to which keys a consumer reads:
+  audio_classifier_collate_fn -> audio/spectrogram/pose_seq/eid_label
+  default_collate_fn          -> + text (frame-aligned word indices)
+  word_seq_collate_fn         -> + word tokens with lengths (provided by
+                                  `words_to_tensor` below)
+"""
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from ..ops.mel import (
+    calc_spectrogram_length_from_motion_length,
+    make_audio_fixed_length,
+)
+from .store import GestureStore
+from .vocab import Vocab
+
+# emotion-id ranges (lmdb_loader_BEAT_full.py:77-118)
+_EID_BOUNDS = [64, 72, 80, 86, 94, 102, 110, 118]
+
+EMOTION_LABELS = ["neutral", "happiness", "anger", "sadness", "contempt",
+                  "surprise", "fear", "disgust"]
+
+
+def one_hot_eid(eid: str) -> np.ndarray:
+    index = int(eid.split("_", 4)[-1])
+    label = np.zeros(8, dtype=np.float32)
+    for cls, bound in enumerate(_EID_BOUNDS):
+        if index <= bound:
+            label[cls] = 1.0
+            return label
+    raise ValueError(f"eid index {index} out of range")
+
+
+def extend_word_seq(lang: Vocab, words, aux_info, n_frames: int,
+                    remove_word_timing: bool = False,
+                    end_time=None) -> np.ndarray:
+    """Timed words -> per-frame index grid
+    (lmdb_loader_BEAT_full.py:182-207)."""
+    if end_time is None:
+        end_time = aux_info["end_time"]
+    frame_duration = (end_time - aux_info["start_time"]) / n_frames
+    extended = np.zeros(n_frames, dtype=np.int64)
+    if remove_word_timing:
+        n_words = 0
+        for word in words:
+            idx = max(0, int(np.floor(
+                (word[1] - aux_info["start_time"]) / frame_duration)))
+            if idx < n_frames:
+                n_words += 1
+        space = int(n_frames / (n_words + 1))
+        for i in range(n_words):
+            idx = (i + 1) * space
+            extended[idx] = lang.get_word_index(words[i][0])
+    else:
+        for word in words:
+            idx = max(0, int(np.floor(
+                (word[1] - aux_info["start_time"]) / frame_duration)))
+            if idx < n_frames:
+                extended[idx] = lang.get_word_index(word[0])
+    return extended
+
+
+def words_to_tensor(lang: Vocab, words, end_time=None) -> np.ndarray:
+    """SOS + word indices + EOS (lmdb_loader_BEAT_full.py:209-216)."""
+    indexes = [lang.SOS_token]
+    for word in words:
+        if end_time is not None and word[1] > end_time:
+            break
+        indexes.append(lang.get_word_index(word[0]))
+    indexes.append(lang.EOS_token)
+    return np.asarray(indexes, dtype=np.int64)
+
+
+class SpeechMotionDataset:
+    """Windowed (audio, spectrogram, poses, emotion) samples from a
+    GestureStore cache directory (`<data_dir>_cache` convention kept)."""
+
+    def __init__(self, data_dir, n_poses: int = 60,
+                 subdivision_stride: int = 30,
+                 pose_resampling_fps: int = 15,
+                 speaker_model=None, remove_word_timing: bool = False,
+                 use_cache_suffix: bool = True):
+        self.data_dir = Path(data_dir)
+        self.n_poses = n_poses
+        self.subdivision_stride = subdivision_stride
+        self.skeleton_resampling_fps = pose_resampling_fps
+        self.remove_word_timing = remove_word_timing
+        self.expected_audio_length = int(
+            round(n_poses / pose_resampling_fps * 16000))
+        self.expected_spectrogram_length = (
+            calc_spectrogram_length_from_motion_length(
+                n_poses, pose_resampling_fps))
+        self.lang_model: Vocab | None = None
+        cache_dir = (
+            Path(str(self.data_dir) + "_cache")
+            if use_cache_suffix else self.data_dir
+        )
+        self.store = GestureStore(cache_dir)
+        self.speaker_model = speaker_model or self._speaker_model()
+
+    def _speaker_model(self):
+        cache = Path(str(self.data_dir) + "_speaker_model.pkl")
+        if cache.exists():
+            with open(cache, "rb") as f:
+                return pickle.load(f)
+        model = Vocab("eid", insert_default_tokens=False)
+        for i in range(len(self.store)):
+            model.index_word(self.store[i]["aux_info"]["eid"])
+        try:
+            with open(cache, "wb") as f:
+                pickle.dump(model, f)
+        except OSError:
+            pass
+        return model
+
+    def set_lang_model(self, lang_model: Vocab):
+        self.lang_model = lang_model
+
+    def __len__(self):
+        return len(self.store)
+
+    def __getitem__(self, idx: int) -> dict:
+        rec = self.store[idx]
+        aux_info = rec["aux_info"]
+        pose_seq = np.asarray(rec["pose_seq"], dtype=np.float32)
+        pose_seq = pose_seq.reshape(pose_seq.shape[0], -1)
+        audio = make_audio_fixed_length(
+            np.asarray(rec["audio"], dtype=np.float32),
+            self.expected_audio_length)
+        spectrogram = np.asarray(
+            rec["spectrogram"][:, : self.expected_spectrogram_length],
+            dtype=np.float32)
+        sample = {
+            "audio": audio,
+            "spectrogram": spectrogram,
+            "pose_seq": pose_seq,
+            "eid_label": one_hot_eid(aux_info["eid"]),
+            "aux_info": aux_info,
+        }
+        words = rec.get("word_seq", [])
+        if self.lang_model is not None:
+            duration = aux_info["end_time"] - aux_info["start_time"]
+            sample_end_time = (
+                aux_info["start_time"]
+                + duration * self.n_poses / pose_seq.shape[0])
+            sample["text"] = extend_word_seq(
+                self.lang_model, words, aux_info, self.n_poses,
+                self.remove_word_timing, sample_end_time).astype(np.int32)
+            sample["word_tokens"] = words_to_tensor(
+                self.lang_model, words, sample_end_time)
+        else:
+            sample["text"] = np.zeros(self.n_poses, dtype=np.int32)
+        return sample
+
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
+                drop_last: bool = True):
+        from .synthetic import make_batch
+
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        end = len(self) - len(self) % batch_size if drop_last else len(self)
+        for i in range(0, end, batch_size):
+            yield make_batch([self[int(j)] for j in order[i:i + batch_size]])

@@ -1,0 +1,106 @@
+"""GestureStore — memory-mapped record store replacing the reference's
+LMDB sample caches (data_loader/lmdb_loader_BEAT_full.py:153-156).
+
+Layout on disk (directory):
+  data.bin    append-only concatenation of EGTP records
+  index.npy   int64 (n+1,) record byte offsets (offsets[i]..offsets[i+1])
+
+Readers mmap data.bin; `__getitem__` decodes zero-copy ndarray views —
+the host-side hot path the torch DataLoader workers used to be
+(SURVEY.md §3.4). The optional C++ codec accelerates batch decode.
+An LMDB adapter is provided for environments where the original caches
+and the `lmdb` package exist.
+"""
+from __future__ import annotations
+
+import mmap
+import os
+from pathlib import Path
+
+import numpy as np
+
+from .codec import decode_record, encode_record
+
+
+class GestureStoreWriter:
+    def __init__(self, path: str | os.PathLike):
+        self.path = Path(path)
+        self.path.mkdir(parents=True, exist_ok=True)
+        self._data = open(self.path / "data.bin", "wb")
+        self._offsets = [0]
+
+    def append(self, record: dict):
+        buf = encode_record(record)
+        self._data.write(buf)
+        self._offsets.append(self._offsets[-1] + len(buf))
+
+    def close(self):
+        self._data.close()
+        np.save(self.path / "index.npy",
+                np.asarray(self._offsets, dtype=np.int64))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class GestureStore:
+    """Read-only mmap view over a GestureStoreWriter output."""
+
+    def __init__(self, path: str | os.PathLike):
+        self.path = Path(path)
+        self.offsets = np.load(self.path / "index.npy")
+        self._file = open(self.path / "data.bin", "rb")
+        size = self.offsets[-1]
+        self._mmap = (
+            mmap.mmap(self._file.fileno(), size, access=mmap.ACCESS_READ)
+            if size
+            else b""
+        )
+        self._view = memoryview(self._mmap)
+
+    def __len__(self):
+        return len(self.offsets) - 1
+
+    def __getitem__(self, idx: int) -> dict:
+        lo, hi = int(self.offsets[idx]), int(self.offsets[idx + 1])
+        return decode_record(self._view[lo:hi])
+
+    def close(self):
+        """Best-effort close: decoded records hold zero-copy views into the
+        map, which keep it alive until they are garbage-collected."""
+        try:
+            self._view.release()
+            if self._mmap:
+                self._mmap.close()
+        except BufferError:
+            pass
+        self._file.close()
+
+
+def convert_lmdb_cache(lmdb_dir: str, out_dir: str):
+    """Converter from the reference's pyarrow-0.14 LMDB caches. Requires
+    `lmdb` and a pyarrow version still exposing `deserialize` (0.14-0.16);
+    run once offline, after which only GestureStore is needed."""
+    import lmdb  # noqa: F401 — optional dep, gated
+    import pyarrow  # noqa: F401
+
+    env = lmdb.open(lmdb_dir, readonly=True, lock=False)
+    with env.begin() as txn, GestureStoreWriter(out_dir) as writer:
+        n = txn.stat()["entries"]
+        for idx in range(n):
+            key = f"{idx:010}".encode("ascii")
+            sample = pyarrow.deserialize(txn.get(key))
+            word_seq, pose_seq, audio, spectrogram, aux_info = sample
+            writer.append(
+                {
+                    "word_seq": [list(w) for w in word_seq],
+                    "pose_seq": np.asarray(pose_seq),
+                    "audio": np.asarray(audio),
+                    "spectrogram": np.asarray(spectrogram),
+                    "aux_info": dict(aux_info),
+                }
+            )
+    env.close()

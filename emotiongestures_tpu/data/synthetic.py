@@ -1,0 +1,121 @@
+"""Deterministic synthetic BEAT-style dataset for tests and benchmarks
+(SURVEY.md §7 step 5). Emotion classes are encoded into both the audio
+(class-dependent carrier frequency) and the poses (class-dependent
+oscillation), so classifiers/generators have real signal to learn.
+
+Sample layout mirrors the reference window record
+(data_loader/lmdb_loader_BEAT_full.py:171-253):
+  audio        (64000,)  float32
+  spectrogram  (128, 124) float32 log-mel
+  pose_seq     (60, 282)  float32
+  eid_label    (8,)       one-hot
+  text tokens  (60,)      int32 (frame-aligned word indices)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops import mel as M
+
+N_POSES = 60
+POSE_DIM = 282
+FPS = 15
+AUDIO_LEN = 64000
+SPEC_LEN = 124
+N_MELS = 128
+N_EMOTIONS = 8
+
+
+@dataclass
+class SyntheticGestureDataset:
+    n_samples: int = 256
+    n_words: int = 64
+    seed: int = 0
+    n_poses: int = N_POSES
+    pose_dim: int = POSE_DIM
+
+    def __len__(self):
+        return self.n_samples
+
+    def __getitem__(self, idx):
+        rng = np.random.RandomState(self.seed * 100003 + idx)
+        emotion = idx % N_EMOTIONS
+
+        # audio: class-dependent carrier + beat pulses + noise
+        t = np.arange(AUDIO_LEN) / 16000.0
+        f0 = 110.0 * (1 + emotion)
+        beat_hz = 2.0 + 0.25 * emotion
+        envelope = 0.5 + 0.5 * np.square(np.sin(np.pi * beat_hz * t))
+        audio = (
+            0.4 * envelope * np.sin(2 * np.pi * f0 * t)
+            + 0.05 * rng.randn(AUDIO_LEN)
+        ).astype(np.float32)
+
+        spec = np.asarray(
+            M._melspectrogram_np(audio), dtype=np.float64
+        )
+        spec = M._power_to_db_np(spec)[:, :SPEC_LEN].astype(np.float32)
+
+        # poses: class-dependent frequency/amplitude per joint + drift
+        frames = np.arange(self.n_poses) / FPS
+        joint_phase = rng.uniform(0, 2 * np.pi, self.pose_dim)
+        joint_amp = 0.1 + 0.05 * (emotion / N_EMOTIONS) + 0.02 * rng.rand(
+            self.pose_dim
+        )
+        pose = joint_amp[None, :] * np.sin(
+            2 * np.pi * beat_hz * frames[:, None] + joint_phase[None, :]
+        )
+        pose = pose + 0.01 * rng.randn(self.n_poses, self.pose_dim)
+        pose = pose.astype(np.float32)
+
+        # frame-aligned word indices (sparse, like extend_word_seq)
+        tokens = np.zeros(self.n_poses, dtype=np.int32)
+        n_spoken = rng.randint(4, 12)
+        positions = np.sort(rng.choice(self.n_poses, n_spoken, replace=False))
+        tokens[positions] = rng.randint(4, self.n_words, n_spoken)
+
+        eid_label = np.zeros(N_EMOTIONS, dtype=np.float32)
+        eid_label[emotion] = 1.0
+
+        aux_info = {
+            "eid": f"1_wayne_0_{65 + emotion * 8}_{65 + emotion * 8}",
+            "start_time": 0.0,
+            "end_time": 4.0,
+            "start_frame_no": 0,
+            "end_frame_no": self.n_poses,
+        }
+        return {
+            "audio": audio,
+            "spectrogram": spec,
+            "pose_seq": pose,
+            "eid_label": eid_label,
+            "text": tokens,
+            "aux_info": aux_info,
+        }
+
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
+                drop_last: bool = True):
+        order = np.arange(self.n_samples)
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        end = (
+            self.n_samples - self.n_samples % batch_size
+            if drop_last
+            else self.n_samples
+        )
+        for i in range(0, end, batch_size):
+            yield make_batch([self[j] for j in order[i : i + batch_size]])
+
+
+def make_batch(samples):
+    """Collate samples into stacked numpy arrays
+    (audio_classifier_collate_fn / default_collate_fn equivalents)."""
+    return {
+        "audio": np.stack([s["audio"] for s in samples]),
+        "spectrogram": np.stack([s["spectrogram"] for s in samples]),
+        "pose_seq": np.stack([s["pose_seq"] for s in samples]),
+        "eid_label": np.stack([s["eid_label"] for s in samples]),
+        "text": np.stack([s["text"] for s in samples]),
+    }

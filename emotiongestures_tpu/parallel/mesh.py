@@ -1,0 +1,94 @@
+"""Device-mesh parallelism (SURVEY.md §2.6).
+
+The reference's only parallelism is single-process DataParallel
+(train_...py:129-130); here the equivalent is GSPMD: place the batch on
+the mesh's `data` axis, params replicated (or tensor-sharded on `model`),
+and jit the SAME train step — XLA inserts the psum/all-gather collectives
+over ICI. No NCCL analog exists or is needed.
+
+Notes on semantics vs. the reference:
+  * BatchNorm under GSPMD normalises over the GLOBAL batch — identical to
+    single-device execution (DataParallel's per-replica stats are the
+    deviation, not ours).
+  * TMMemory's cross-batch coupling is computed globally (XLA all-gathers
+    the small (B, D) operands automatically).
+
+Tensor parallel: the transformer FFN (d_inner=2048) and the big flatten
+MLPs dominate the parameter count; `tp_param_shardings` shards their
+kernels on the `model` axis (w_1 column-parallel, w_2 row-parallel — the
+Megatron layout, one psum per FFN inserted by XLA).
+"""
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """1-D data mesh by default; pass n_model>1 for a 2-D (data, model)
+    mesh. Uses all visible devices when n_data is None."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, axis_names=("data", "model"))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a pytree of (B, ...) arrays with B sharded over `data`."""
+    def put(x):
+        spec = P("data", *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree over the mesh."""
+    sharding = NamedSharding(mesh, P())
+
+    def put(x):
+        if np.ndim(x) == 0 and not isinstance(x, jax.Array):
+            return x
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+# FFN kernels: w_1 column-parallel, w_2 row-parallel (Megatron layout)
+_TP_RULES = [
+    (re.compile(r".*pos_ffn/w_1/kernel$"), lambda nd: P(None, "model")),
+    (re.compile(r".*pos_ffn/w_1/bias$"), lambda nd: P("model")),
+    (re.compile(r".*pos_ffn/w_2/kernel$"), lambda nd: P("model", None)),
+    # MHA projections: heads are columns of w_{q,k,v} and rows of fc
+    (re.compile(r".*w_[qkv]s/kernel$"), lambda nd: P(None, "model")),
+    (re.compile(r".*(slf|enc)_attn/fc/kernel$"), lambda nd: P("model", None)),
+]
+
+
+def tp_param_shardings(params, mesh: Mesh):
+    """PartitionSpec tree for tensor-parallel placement of the FFN/MHA
+    weights; everything else replicated."""
+
+    def spec_for(path, leaf):
+        name = "/".join(
+            getattr(p, "key", getattr(p, "name", str(p))) for p in path
+        )
+        for pattern, spec_fn in _TP_RULES:
+            if pattern.match(name):
+                return NamedSharding(mesh, spec_fn(leaf.ndim))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def apply_shardings(tree, shardings):
+    """device_put a pytree according to a matching sharding tree."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), tree, shardings
+    )

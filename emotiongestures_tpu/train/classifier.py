@@ -1,0 +1,169 @@
+"""Audio emotion classifier training (train_audio_classifier_K_fold.py).
+
+The reference's per-batch hot loop (train_...py:155-175) becomes one
+jitted `train_step`; its K-fold driver (train_...py:109-204) is the
+host-side `train_k_fold` below. Loss = focal(alpha per-class, gamma 2)
+* 100; optimizer Adam(lr 3e-4, betas (0.5, 0.999), wd 1e-5).
+"""
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import losses, schedules
+from ..models import EmotionNet
+from .state import TrainState, create_train_state, model_variables
+
+
+def create_state(rng_key, lr: float = 3e-4, beta1: float = 0.5,
+                 beta2: float = 0.999, weight_decay: float = 1e-5,
+                 spec_shape=(1, 128, 124)) -> TrainState:
+    model = EmotionNet()
+    variables = model.init(rng_key, jnp.zeros(spec_shape, jnp.float32),
+                           train=False)
+    tx = schedules.adam(lr=lr, b1=beta1, b2=beta2,
+                        weight_decay=weight_decay)
+    return create_train_state(model, variables, tx)
+
+
+@functools.partial(jax.jit, static_argnames=("gamma",), donate_argnums=0)
+def train_step(state: TrainState, spec, labels_onehot, alpha,
+               gamma: float = 2.0):
+    """One optimizer step. labels are one-hot (collate keeps them so,
+    argmax'd like train_...py:168); alpha is the per-class focal weight
+    vector recomputed per epoch (train_...py:147-151)."""
+    labels = jnp.argmax(labels_onehot, axis=1)
+
+    def loss_fn(params):
+        out, mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            spec, train=True, mutable=["batch_stats"],
+        )
+        loss = losses.focal_loss(out, labels, alpha=alpha, gamma=gamma) * 100.0
+        return loss, (mutated["batch_stats"], out)
+
+    (loss, (new_bs, out)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+    acc = 100.0 * jnp.mean(jnp.argmax(out, 1) == labels)
+    return new_state, {"loss": loss, "acc": acc}
+
+
+@jax.jit
+def eval_step(state: TrainState, spec, labels_onehot):
+    labels = jnp.argmax(labels_onehot, axis=1)
+    out = state.apply_fn(model_variables(state), spec, train=False)
+    preds = jnp.argmax(out, 1)
+    acc = 100.0 * jnp.mean(preds == labels)
+    return acc, preds, labels
+
+
+def confusion_matrix(preds, labels, n_classes: int = 8):
+    """(train_...py:56-60) — rows are predictions, columns are truth."""
+    cm = np.zeros((n_classes, n_classes), dtype=np.int64)
+    for p, t in zip(np.asarray(preds), np.asarray(labels)):
+        cm[p, t] += 1
+    return cm
+
+
+def class_alpha(labels_onehot: np.ndarray, n_classes: int = 8) -> np.ndarray:
+    """Per-class re-weighting (train_...py:147-151):
+    alpha_c = sum(count) / (n_classes * count_c)."""
+    raw = labels_onehot.reshape(-1, n_classes).sum(0)
+    counts = np.maximum(raw, 1.0)  # clamp absent classes (ref divides by 0)
+    return (raw.sum() / (n_classes * counts)).astype(np.float32)
+
+
+def k_fold_indices(n: int, n_splits: int = 10, seed: int = 0):
+    """KFold(10, shuffle=True) equivalent (train_...py:301)."""
+    order = np.random.RandomState(seed).permutation(n)
+    folds = np.array_split(order, n_splits)
+    for i in range(n_splits):
+        val = folds[i]
+        train = np.concatenate([folds[j] for j in range(n_splits) if j != i])
+        yield train, val
+
+
+def train_k_fold(
+    dataset,
+    test_dataset,
+    batch_size: int = 128,
+    n_splits: int = 10,
+    epochs: int = 1,
+    lr: float = 3e-4,
+    eval_every: int = 100,
+    seed: int = 0,
+    max_folds: Optional[int] = None,
+    checkpoint_fn=None,
+):
+    """Host-side K-fold driver mirroring train_...py:109-204. Returns the
+    per-fold final test accuracies."""
+    log = logging.getLogger("emotiongestures_tpu.classifier")
+    results = []
+    for fold, (train_idx, val_idx) in enumerate(
+        k_fold_indices(len(dataset), n_splits, seed)
+    ):
+        if max_folds is not None and fold >= max_folds:
+            break
+        state = create_state(jax.random.PRNGKey(seed + fold), lr=lr)
+        global_iter = 0
+        for epoch in range(epochs):
+            # epoch-level class re-weighting over this fold's train split
+            all_labels = np.stack(
+                [dataset[int(i)]["eid_label"] for i in train_idx])
+            alpha = class_alpha(all_labels)
+            order = np.random.RandomState(seed + epoch).permutation(
+                train_idx)
+            for i in range(0, len(order) - batch_size + 1, batch_size):
+                batch_ids = order[i : i + batch_size]
+                samples = [dataset[int(j)] for j in batch_ids]
+                spec = np.stack([s["spectrogram"] for s in samples])
+                labels = np.stack([s["eid_label"] for s in samples])
+                state, metrics = train_step(state, spec, labels, alpha)
+                global_iter += 1
+                if global_iter % eval_every == 0:
+                    val_acc = evaluate(state, dataset, val_idx, batch_size)
+                    log.info(
+                        "Fold %d, Epoch %d, iter %d, loss %.4f, "
+                        "Val Accuracy: %.2f%%",
+                        fold + 1, epoch, global_iter,
+                        float(metrics["loss"]), val_acc,
+                    )
+                    if checkpoint_fn is not None:
+                        checkpoint_fn(state, fold, epoch, global_iter)
+        test_acc, cm = test_model(state, test_dataset, batch_size)
+        log.info("Fold %d Test Accuracy: %.2f%%", fold + 1, test_acc)
+        results.append({"fold": fold, "test_acc": test_acc,
+                        "confusion": cm, "state": state})
+    return results
+
+
+def evaluate(state, dataset, indices, batch_size: int) -> float:
+    accs = []
+    for i in range(0, len(indices) - batch_size + 1, batch_size):
+        samples = [dataset[int(j)] for j in indices[i : i + batch_size]]
+        spec = np.stack([s["spectrogram"] for s in samples])
+        labels = np.stack([s["eid_label"] for s in samples])
+        acc, _, _ = eval_step(state, spec, labels)
+        accs.append(float(acc))
+    return float(np.mean(accs)) if accs else 0.0
+
+
+def test_model(state, dataset, batch_size: int):
+    """Test pass with confusion matrix (train_...py:206-255)."""
+    accs = []
+    cm = np.zeros((8, 8), dtype=np.int64)
+    n = len(dataset)
+    for i in range(0, n - batch_size + 1, batch_size):
+        samples = [dataset[int(j)] for j in range(i, i + batch_size)]
+        spec = np.stack([s["spectrogram"] for s in samples])
+        labels = np.stack([s["eid_label"] for s in samples])
+        acc, preds, lab = eval_step(state, spec, labels)
+        accs.append(float(acc))
+        cm += confusion_matrix(preds, lab)
+    return (float(np.mean(accs)) if accs else 0.0), cm

@@ -1,0 +1,44 @@
+"""Skeleton emotion classifier training (skeleton_classifer/Models.py) —
+cross-entropy on pose windows; frozen at eval time for the Emotion-Acc
+metric (test_...py:217-221).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import losses, schedules
+from ..models import SkeletonTransformer
+from .state import TrainState, create_train_state, model_variables
+
+
+def create_state(key, lr: float = 3e-4, pose_dim: int = 282,
+                 d_model: int = 512, d_inner: int = 2048) -> TrainState:
+    model = SkeletonTransformer(pose_dim=pose_dim, d_model=d_model,
+                                d_inner=d_inner)
+    kp, kd = jax.random.split(key)
+    variables = model.init({"params": kp, "dropout": kd},
+                           jnp.zeros((1, 60, pose_dim), jnp.float32))
+    tx = schedules.adam(lr=lr, b1=0.5, b2=0.999, weight_decay=1e-5)
+    return create_train_state(model, variables, tx)
+
+
+@jax.jit
+def train_step(state: TrainState, poses, labels_onehot, rng):
+    labels = jnp.argmax(labels_onehot, axis=1)
+
+    def loss_fn(params):
+        logits, _ = state.apply_fn(
+            {"params": params}, poses, train=True, rngs={"dropout": rng})
+        return losses.cross_entropy(logits, labels).mean(), logits
+
+    (loss, logits), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    acc = 100.0 * jnp.mean(jnp.argmax(logits, 1) == labels)
+    return state.apply_gradients(grads), {"loss": loss, "acc": acc}
+
+
+@jax.jit
+def predict(state: TrainState, poses):
+    logits, mid = state.apply_fn(model_variables(state), poses, train=False)
+    return logits, mid

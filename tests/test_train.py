@@ -1,0 +1,127 @@
+"""End-to-end train-step tests on the synthetic dataset: losses decrease,
+gradients stay finite, and the jitted steps run (SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emotiongestures_tpu.data import SyntheticGestureDataset, make_batch
+from emotiongestures_tpu.train import classifier, cvae, fgd, gan, skeleton
+from emotiongestures_tpu.train.state import finite_check
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return SyntheticGestureDataset(n_samples=64, seed=3)
+
+
+@pytest.fixture(scope="module")
+def batch(dataset):
+    return make_batch([dataset[i] for i in range(16)])
+
+
+def test_classifier_loss_decreases(batch):
+    state = classifier.create_state(jax.random.PRNGKey(0))
+    alpha = classifier.class_alpha(batch["eid_label"])
+    losses = []
+    for _ in range(8):
+        state, metrics = classifier.train_step(
+            state, batch["spectrogram"], batch["eid_label"], alpha)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert bool(finite_check(state.params))
+
+
+def test_classifier_eval_and_confusion(batch):
+    state = classifier.create_state(jax.random.PRNGKey(0))
+    acc, preds, labels = classifier.eval_step(
+        state, batch["spectrogram"], batch["eid_label"])
+    assert 0.0 <= float(acc) <= 100.0
+    cm = classifier.confusion_matrix(preds, labels)
+    assert cm.sum() == 16
+
+
+def test_class_alpha_formula():
+    onehot = np.eye(8, dtype=np.float32)[np.array([0, 0, 0, 1])]
+    alpha = classifier.class_alpha(onehot)
+    # counts: [3,1,...(1 clamped)]; alpha_c = total/(8*count)
+    np.testing.assert_allclose(alpha[0], 4.0 / (8 * 3))
+    np.testing.assert_allclose(alpha[1], 4.0 / (8 * 1))
+
+
+def test_gan_train_steps_run(batch):
+    cfg = gan.GANConfig(n_words=64, d_model=128, d_inner=256, n_layers=1)
+    gen_state, disc_state = gan.create_states(cfg, jax.random.PRNGKey(0))
+    small = {k: v[:4] for k, v in batch.items()}
+    metrics_hist = []
+    for i in range(3):
+        gen_state, disc_state, metrics = gan.train_step(
+            gen_state, disc_state, small, jax.random.PRNGKey(i), cfg,
+            use_disc=True)
+        metrics_hist.append({k: float(v) for k, v in metrics.items()})
+    for m in metrics_hist:
+        assert np.isfinite(list(m.values())).all(), m
+    # reconstruction loss should drop within a few steps
+    assert metrics_hist[-1]["g_rec"] < metrics_hist[0]["g_rec"]
+    out = gan.eval_step(gen_state, small, cfg)
+    assert out["pred"].shape == (4, 60, 282)
+    assert np.isfinite(float(out["l2"]))
+
+
+def test_gan_warmup_skips_discriminator(batch):
+    cfg = gan.GANConfig(n_words=64, d_model=128, d_inner=256, n_layers=1)
+    gen_state, disc_state = gan.create_states(cfg, jax.random.PRNGKey(0))
+    small = {k: v[:4] for k, v in batch.items()}
+    d_before = np.array(jax.tree_util.tree_leaves(disc_state.params)[0])
+    gen_state, disc_state, metrics = gan.train_step(
+        gen_state, disc_state, small, jax.random.PRNGKey(0), cfg,
+        use_disc=False)
+    d_after = jax.tree_util.tree_leaves(disc_state.params)[0]
+    np.testing.assert_array_equal(np.asarray(d_before), np.asarray(d_after))
+    assert float(metrics["d_loss"]) == 0.0
+    assert float(metrics["g_adv"]) == 0.0
+
+
+@pytest.mark.parametrize("version", [1, 2, 3])
+def test_cvae_loss_decreases(version):
+    state = cvae.create_state(jax.random.PRNGKey(0), version=version)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(8, 60, 512) * 0.1, jnp.float32)
+    y = jax.nn.one_hot(jnp.asarray(rng.randint(0, 8, 8)), 8)
+    losses = []
+    for i in range(10):
+        state, metrics = cvae.train_step(
+            state, feats, y, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    s = cvae.sample(state, y, jax.random.PRNGKey(99))
+    assert s.shape == (8, 60, 512)
+
+
+def test_fgd_train_and_features(batch):
+    state = fgd.create_state(jax.random.PRNGKey(0))
+    poses = batch["pose_seq"]
+    losses = []
+    for i in range(10):
+        state, metrics = fgd.train_step(state, poses, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    feats = fgd.extract_features(state, poses)
+    assert feats.shape == (16 * 60, 512)
+
+
+def test_skeleton_train(batch):
+    state = skeleton.create_state(jax.random.PRNGKey(0), d_model=128,
+                                  d_inner=256)
+    losses = []
+    for i in range(15):
+        state, metrics = skeleton.train_step(
+            state, batch["pose_seq"], batch["eid_label"],
+            jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert min(losses[8:]) < losses[0]
+    logits, mid = skeleton.predict(state, batch["pose_seq"])
+    assert logits.shape == (16, 8)
