@@ -21,3 +21,20 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: first compiles of the big models take
+# tens of seconds on TPU; cache them across processes (CLI runs, bench).
+import os as _os
+
+try:
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "egtp_xla_cache"),
+    )
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover — cache is best-effort
+    pass

