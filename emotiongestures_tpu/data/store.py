@@ -22,6 +22,45 @@ import numpy as np
 from .codec import decode_record, encode_record
 
 
+def _load_native():
+    """ctypes binding to native/libegtp_codec.so (built by
+    `make -C emotiongestures_tpu/native`); None when absent."""
+    import ctypes
+
+    native_dir = Path(__file__).resolve().parent.parent / "native"
+    lib_path = native_dir / "libegtp_codec.so"
+    if not lib_path.exists():
+        # lazy build (best-effort; falls back to pure python)
+        import subprocess
+
+        try:
+            subprocess.run(["make", "-C", str(native_dir)], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    if not lib_path.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(lib_path))
+    except OSError:
+        return None
+    lib.egtp_batch_gather_f32.restype = ctypes.c_int
+    lib.egtp_batch_gather_f32.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int,
+    ]
+    lib.egtp_field_shape.restype = ctypes.c_int
+    lib.egtp_field_shape.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    return lib
+
+
+_NATIVE = _load_native()
+
+
 class GestureStoreWriter:
     def __init__(self, path: str | os.PathLike):
         self.path = Path(path)
@@ -67,6 +106,43 @@ class GestureStore:
     def __getitem__(self, idx: int) -> dict:
         lo, hi = int(self.offsets[idx]), int(self.offsets[idx + 1])
         return decode_record(self._view[lo:hi])
+
+    def batch_field(self, indices, name: str, n_threads: int = 0
+                    ) -> np.ndarray:
+        """Gather field `name` of many records into one (n, *shape) f32
+        array — the host hot path. Uses the multithreaded C++ decoder
+        when built, pure-python otherwise."""
+        import ctypes
+
+        indices = np.ascontiguousarray(indices, dtype=np.int64)
+        n = len(indices)
+        if n == 0:
+            raise ValueError("empty index list")
+        first = self[int(indices[0])][name]
+        shape = first.shape
+        elem_count = int(np.prod(shape))
+        out = np.empty((n,) + shape, dtype=np.float32)
+        if _NATIVE is not None and len(self._view) > 0:
+            # zero-copy address of the (read-only) mmap via numpy
+            base = np.frombuffer(self._mmap, dtype=np.uint8)
+            rc = _NATIVE.egtp_batch_gather_f32(
+                base.ctypes.data,
+                self.offsets.ctypes.data_as(ctypes.c_void_p),
+                indices.ctypes.data_as(ctypes.c_void_p),
+                n, name.encode(),
+                out.ctypes.data_as(ctypes.c_void_p),
+                elem_count, n_threads)
+            if rc == 0:
+                return out
+            raise ValueError(
+                f"native decode failed at batch position {-rc - 1}")
+        for i, idx in enumerate(indices):
+            out[i] = np.asarray(self[int(idx)][name], dtype=np.float32)
+        return out
+
+    @property
+    def native_available(self) -> bool:
+        return _NATIVE is not None
 
     def close(self):
         """Best-effort close: decoded records hold zero-copy views into the
