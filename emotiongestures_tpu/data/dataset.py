@@ -80,6 +80,26 @@ def words_to_tensor(lang: Vocab, words, end_time=None) -> np.ndarray:
     return np.asarray(indexes, dtype=np.int64)
 
 
+def word_seq_collate(samples):
+    """word_seq_collate_fn equivalent (lmdb_loader_BEAT_full.py:26-46):
+    sort by token-sequence length (desc), pad with PAD=0, return lengths
+    alongside the stacked batch arrays."""
+    from .synthetic import make_batch
+
+    samples = sorted(samples, key=lambda s: len(s["word_tokens"]),
+                     reverse=True)
+    lengths = np.asarray([len(s["word_tokens"]) for s in samples],
+                         dtype=np.int64)
+    max_len = int(lengths[0]) if len(lengths) else 0
+    tokens = np.zeros((len(samples), max_len), dtype=np.int64)
+    for i, s in enumerate(samples):
+        tokens[i, : lengths[i]] = s["word_tokens"]
+    batch = make_batch(samples)
+    batch["word_tokens"] = tokens
+    batch["word_lengths"] = lengths
+    return batch
+
+
 class SpeechMotionDataset:
     """Windowed (audio, spectrogram, poses, emotion) samples from a
     GestureStore cache directory (`<data_dir>_cache` convention kept)."""
@@ -171,3 +191,52 @@ class SpeechMotionDataset:
         end = len(self) - len(self) % batch_size if drop_last else len(self)
         for i in range(0, end, batch_size):
             yield make_batch([self[int(j)] for j in order[i:i + batch_size]])
+
+
+class TedSpeechMotionDataset(SpeechMotionDataset):
+    """TED / TED-expressive variant (data_loader/lmdb_data_loader.py:58-199,
+    lmdb_data_loader_expressive.py:58-231): dir-vec sequences normalised by
+    a mean vector, on-the-fly cache creation from a raw-clip store when the
+    sample cache is missing."""
+
+    def __init__(self, data_dir, n_poses: int = 34,
+                 subdivision_stride: int = 10,
+                 pose_resampling_fps: int = 15,
+                 mean_dir_vec=None, mean_pose=None,
+                 speaker_model=None, remove_word_timing: bool = False):
+        from pathlib import Path as _P
+
+        self.mean_dir_vec = (
+            None if mean_dir_vec is None
+            else np.asarray(mean_dir_vec).reshape(1, -1))
+        self.mean_pose = mean_pose
+        cache_dir = _P(str(data_dir) + "_cache")
+        if not cache_dir.exists():
+            # create the cache from the raw clip store on the fly
+            # (lmdb_data_loader.py:76-86)
+            from .preprocessing import DataPreprocessor
+
+            DataPreprocessor(
+                data_dir, cache_dir, n_poses, subdivision_stride,
+                pose_resampling_fps, mean_pose=mean_pose,
+                mean_dir_vec=mean_dir_vec,
+            ).run()
+        super().__init__(data_dir, n_poses, subdivision_stride,
+                         pose_resampling_fps, speaker_model,
+                         remove_word_timing)
+
+    def __getitem__(self, idx: int) -> dict:
+        sample = super().__getitem__(idx)
+        rec = self.store[idx]
+        if "vec_seq" in rec:
+            sample["vec_seq"] = np.asarray(rec["vec_seq"], np.float32)
+        else:
+            from ..ops.pose import convert_pose_seq_to_dir_vec
+
+            T = sample["pose_seq"].shape[0]
+            vec = convert_pose_seq_to_dir_vec(
+                sample["pose_seq"].reshape(T, -1, 3)).reshape(T, -1)
+            if self.mean_dir_vec is not None:
+                vec = vec - self.mean_dir_vec
+            sample["vec_seq"] = vec.astype(np.float32)
+        return sample

@@ -169,14 +169,51 @@ def convert_lmdb_cache(lmdb_dir: str, out_dir: str):
         for idx in range(n):
             key = f"{idx:010}".encode("ascii")
             sample = pyarrow.deserialize(txn.get(key))
-            word_seq, pose_seq, audio, spectrogram, aux_info = sample
-            writer.append(
-                {
-                    "word_seq": [list(w) for w in word_seq],
-                    "pose_seq": np.asarray(pose_seq),
-                    "audio": np.asarray(audio),
-                    "spectrogram": np.asarray(spectrogram),
-                    "aux_info": dict(aux_info),
-                }
-            )
+            if len(sample) == 5:  # BEAT layout (lmdb_loader_BEAT_full)
+                word_seq, pose_seq, audio, spectrogram, aux_info = sample
+                vec_seq = None
+            else:  # TED layout w/ dir-vecs (lmdb_data_loader*)
+                word_seq, pose_seq, vec_seq, audio, spectrogram, \
+                    aux_info = sample
+            record = {
+                "word_seq": [list(w) for w in word_seq],
+                "pose_seq": np.asarray(pose_seq),
+                "audio": np.asarray(audio),
+                "spectrogram": np.asarray(spectrogram),
+                "aux_info": dict(aux_info),
+            }
+            if vec_seq is not None:
+                record["vec_seq"] = np.asarray(vec_seq)
+            writer.append(record)
+    env.close()
+
+
+def convert_clip_lmdb(lmdb_dir: str, out_dir: str):
+    """Converter for the reference's RAW clip LMDBs (one video with nested
+    clips per record, data_preprocessor.py:44-75) into the flat
+    one-record-per-clip store that preprocessing.DataPreprocessor reads."""
+    import lmdb  # noqa: F401 — optional dep, gated
+    import pyarrow  # noqa: F401
+
+    env = lmdb.open(lmdb_dir, readonly=True, lock=False)
+    with env.begin() as txn, GestureStoreWriter(out_dir) as writer:
+        cursor = txn.cursor()
+        for _, value in cursor:
+            video = pyarrow.deserialize(value)
+            vid = video["vid"]
+            for clip in video["clips"]:
+                writer.append({
+                    "skeletons_3d": np.asarray(clip["skeletons_3d"]),
+                    "audio_feat": np.asarray(clip["audio_feat"]),
+                    "audio_raw": np.asarray(clip["audio_raw"]),
+                    "words": [list(w) for w in clip["words"]],
+                    "aux_info": {
+                        "vid": vid,
+                        "eid": clip.get("eid", vid),
+                        "start_frame_no": int(clip["start_frame_no"]),
+                        "end_frame_no": int(clip["end_frame_no"]),
+                        "start_time": float(clip["start_time"]),
+                        "end_time": float(clip["end_time"]),
+                    },
+                })
     env.close()

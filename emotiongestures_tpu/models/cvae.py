@@ -152,6 +152,43 @@ class _ConvDecoderV3(nn.Module):
         return jnp.swapaxes(h, 1, 2)  # (B, 60, 512)
 
 
+class HandCVAE(nn.Module):
+    """Legacy per-frame 90-d hand CVAE (Full_model/BEAT_CVAE.py:30-149):
+    x (B, 90) hand pose, y (B, 90) condition pose; z=32 ⊕ y-embed(32) ->
+    fusion(64 -> 512) -> decoder -> 90."""
+
+    latent_dim: int = 32
+    hand_dim: int = 90
+
+    def setup(self):
+        self.encoder = _MLPStack((128, 128, 256, 256, 512), name="encoder")
+        self.decoder = _MLPStack((256, 256, 128, 128, self.hand_dim),
+                                 name="decoder")
+        self.y_embed = _MLPStack((64, 32), name="y_embed")
+        self.fc_mu = _MLPStack((self.latent_dim,), name="fc_mu")
+        self.fc_var = _MLPStack((self.latent_dim,), name="fc_var")
+        self.fusion = _MLPStack((256, 512), name="fusion")
+
+    def _fuse_decode(self, z, post_y, train):
+        z = jnp.concatenate([z, post_y], axis=1)
+        z = self.fusion(z, train=train)
+        return self.decoder(z, train=train)
+
+    def __call__(self, x, y, train: bool = False):
+        enc = self.encoder(x, train=train)
+        mu = self.fc_mu(enc, train=train)
+        logvar = self.fc_var(enc, train=train)
+        z = _reparameterize(self.make_rng("sample"), mu, logvar)
+        post_y = self.y_embed(y, train=train)
+        return self._fuse_decode(z, post_y, train), mu, logvar
+
+    def sample(self, y, train: bool = False):
+        post_y = self.y_embed(y, train=train)
+        z = jax.random.normal(self.make_rng("sample"),
+                              (y.shape[0], self.latent_dim))
+        return self._fuse_decode(z, post_y, train)
+
+
 class EmotionCVAEv3(nn.Module):
     """Conv CVAE, the production prior (CAVE/BEAT_CVAE.py:312-460)."""
 

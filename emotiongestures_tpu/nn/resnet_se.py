@@ -108,16 +108,41 @@ class SEBottleneck(nn.Module):
         return nn.relu(out)
 
 
+class _BlockScanStep(nn.Module):
+    """One stride-1 residual block as a scan step (carry = activations)."""
+
+    planes: int
+    reduction: int
+    train: bool
+    block: Type[nn.Module]
+
+    @nn.compact
+    def __call__(self, carry, _):
+        y = self.block(self.planes, stride=1, has_downsample=False,
+                       reduction=self.reduction, train=self.train,
+                       name="block")(carry)
+        return y, None
+
+
 class ResNetSE(nn.Module):
     """Multi-stage SE-ResNet over (B, H, W, 1) spectrogram images.
 
     layers/num_filters as in the reference; stage 1 stride 1, later stages
     stride 2 (Full_model/ResNetSE34V2.py:26-29).
+
+    `scan_blocks=True` runs each stage's identical stride-1 blocks as ONE
+    lax.scan over stacked parameters, shrinking the traced graph. Measured
+    on this stack it does NOT pay: XLA compiles the scanned graph ~2.7x
+    SLOWER than the unrolled one (the conv autotuner dominates compile
+    time, not graph size), so unrolled stays the default; the option
+    remains for much deeper future stacks.
     """
 
     layers: Sequence[int]
     num_filters: Sequence[int]
     block: Type[nn.Module] = SEBasicBlock
+    reduction: int = 8
+    scan_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):  # x: (B, H, W, 1)
@@ -131,14 +156,29 @@ class ResNetSE(nn.Module):
             zip(self.num_filters, self.layers)
         ):
             stride = 1 if stage == 0 else 2
-            for b in range(blocks):
-                s = stride if b == 0 else 1
-                needs_down = b == 0 and (
-                    s != 1 or inplanes != planes * self.block.expansion
-                )
-                x = self.block(
-                    planes, stride=s, has_downsample=needs_down, train=train,
-                    name=f"layer{stage + 1}_block{b}",
-                )(x)
-                inplanes = planes * self.block.expansion
+            needs_down = stride != 1 or \
+                inplanes != planes * self.block.expansion
+            x = self.block(
+                planes, stride=stride, has_downsample=needs_down,
+                reduction=self.reduction, train=train,
+                name=f"layer{stage + 1}_block0",
+            )(x)
+            inplanes = planes * self.block.expansion
+            if blocks > 1:
+                if self.scan_blocks:
+                    scanned = nn.scan(
+                        _BlockScanStep,
+                        variable_axes={"params": 0, "batch_stats": 0},
+                        split_rngs={"params": True},
+                        length=blocks - 1,
+                    )(planes, self.reduction, train, self.block,
+                      name=f"layer{stage + 1}_rest")
+                    x, _ = scanned(x, None)
+                else:
+                    for b in range(1, blocks):
+                        x = self.block(
+                            planes, stride=1, has_downsample=False,
+                            reduction=self.reduction, train=train,
+                            name=f"layer{stage + 1}_block{b}",
+                        )(x)
         return x

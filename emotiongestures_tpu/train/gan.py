@@ -54,6 +54,9 @@ class GANConfig:
     loss_emotion_weight: float = 1.0
     loss_contrastive_weight: float = 0.1
     variant: str = "memory"
+    # steps per epoch > 0 bakes the reference's staged LR ladder
+    # (test_...py:64-78) into the optimizer schedule inside jit
+    steps_per_epoch: int = 0
 
 
 def build_models(cfg: GANConfig):
@@ -76,8 +79,13 @@ def create_states(cfg: GANConfig, key):
     prior = jnp.zeros((1, cfg.prior_frames, cfg.pose_dim), jnp.float32)
     gvars = gen.init({"params": kg, "dropout": kdrop}, spec, text, prior)
     dvars = disc.init(kd, jnp.zeros((1, cfg.frames - 1, cfg.pose_dim)))
-    tx = lambda: schedules.adam(lr=cfg.lr, b1=cfg.beta1, b2=cfg.beta2,
-                                weight_decay=cfg.weight_decay)
+    if cfg.steps_per_epoch > 0:
+        tx = lambda: schedules.adam_staged(
+            cfg.lr, cfg.steps_per_epoch, b1=cfg.beta1, b2=cfg.beta2,
+            weight_decay=cfg.weight_decay)
+    else:
+        tx = lambda: schedules.adam(lr=cfg.lr, b1=cfg.beta1, b2=cfg.beta2,
+                                    weight_decay=cfg.weight_decay)
     return (create_train_state(gen, gvars, tx()),
             create_train_state(disc, dvars, tx()))
 

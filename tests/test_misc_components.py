@@ -1,0 +1,93 @@
+"""HandCVAE, pre-emphasis, top-k accuracy, TED dataset variant, render."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+
+def test_hand_cvae(rng):
+    from emotiongestures_tpu.models.cvae import HandCVAE
+
+    vae = HandCVAE()
+    x = jnp.asarray(rng.randn(4, 90), jnp.float32)
+    y = jnp.asarray(rng.randn(4, 90), jnp.float32)
+    variables = vae.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        x, y)
+    recon, mu, logvar = vae.apply(variables, x, y,
+                                  rngs={"sample": jax.random.PRNGKey(2)})
+    assert recon.shape == (4, 90)
+    assert mu.shape == (4, 32)
+    s = vae.apply(variables, y, method="sample",
+                  rngs={"sample": jax.random.PRNGKey(3)})
+    assert s.shape == (4, 90)
+
+
+def test_pre_emphasis_matches_torch(rng):
+    from emotiongestures_tpu.ops.audio import pre_emphasis
+
+    x = rng.randn(2, 100).astype(np.float32)
+    ours = np.asarray(pre_emphasis(jnp.asarray(x)))
+    # torch reference (model/utils.py:22-38)
+    xt = torch.tensor(x).unsqueeze(1)
+    xt = F.pad(xt, (1, 0), "reflect")
+    filt = torch.tensor([[[-0.97, 1.0]]])
+    ref = F.conv1d(xt, filt).squeeze(1).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_topk_accuracy():
+    from emotiongestures_tpu.ops.audio import topk_accuracy
+
+    logits = np.array([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1], [0.2, 0.3, 0.5]])
+    targets = np.array([1, 0, 0])
+    top1, top2 = topk_accuracy(logits, targets, topk=(1, 2))
+    np.testing.assert_allclose(top1, 100 * 2 / 3)
+    np.testing.assert_allclose(top2, 100 * 2 / 3)  # row3 top2={2,1}, tgt 0
+    (top3,) = topk_accuracy(logits, targets, topk=(3,))
+    np.testing.assert_allclose(top3, 100.0)
+
+
+def test_ted_dataset_variant(tmp_path, rng):
+    from emotiongestures_tpu.data.dataset import TedSpeechMotionDataset
+    from emotiongestures_tpu.data.store import GestureStoreWriter
+    from tests.test_preprocessing import _make_clip
+
+    clip_dir = tmp_path / "ted_train"
+    with GestureStoreWriter(clip_dir) as w:
+        w.append(_make_clip(rng))
+    mean_dir_vec = np.zeros(9 * 3, np.float32)
+    ds = TedSpeechMotionDataset(clip_dir, n_poses=34,
+                                subdivision_stride=10,
+                                pose_resampling_fps=15,
+                                mean_dir_vec=mean_dir_vec)
+    assert len(ds) > 0
+    s = ds[0]
+    assert s["vec_seq"].shape == (34, 27)
+    # unit dir-vecs minus zero mean: rows have unit norm
+    np.testing.assert_allclose(
+        np.linalg.norm(s["vec_seq"].reshape(34, 9, 3), axis=-1), 1.0,
+        rtol=1e-4)
+    # cache is reused on second construction (no re-preprocessing crash)
+    ds2 = TedSpeechMotionDataset(clip_dir, n_poses=34,
+                                 subdivision_stride=10,
+                                 pose_resampling_fps=15,
+                                 mean_dir_vec=mean_dir_vec)
+    assert len(ds2) == len(ds)
+
+
+def test_render_video(tmp_path, rng):
+    from emotiongestures_tpu.utils.render import create_video_and_save
+
+    T = 8
+    vecs = rng.randn(T, 27).astype(np.float32) * 0.1
+    path, out_poses, tgt_poses = create_video_and_save(
+        str(tmp_path), epoch=0, prefix="test", iter_idx=0,
+        target=vecs, output=vecs, mean_data=np.zeros(27),
+        title="smoke", audio=rng.randn(1000).astype(np.float32) * 0.1,
+        fps=15)
+    import os
+
+    assert os.path.exists(path)
+    assert out_poses.shape == (T, 10, 3)

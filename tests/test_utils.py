@@ -1,0 +1,87 @@
+"""Checkpoint roundtrip, profiling guards, precision casting, loggers."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emotiongestures_tpu.train import fgd
+from emotiongestures_tpu.utils import (
+    latest_step,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    state = fgd.create_state(jax.random.PRNGKey(0))
+    poses = jnp.asarray(rng.randn(4, 60, 282), jnp.float32)
+    for i in range(3):
+        state, _ = fgd.train_step(state, poses, jax.random.PRNGKey(i))
+    path = save_checkpoint(state, tmp_path / "ckpt")
+    assert path.name == "checkpoint_iteration3"
+    assert latest_step(tmp_path / "ckpt") == 3
+
+    fresh = fgd.create_state(jax.random.PRNGKey(42))
+    restored, ok = load_checkpoint(fresh, tmp_path / "ckpt")
+    assert ok
+    assert int(restored.step) == 3
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored state trains on
+    restored, metrics = fgd.train_step(restored, poses,
+                                       jax.random.PRNGKey(9))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_load_checkpoint_missing(tmp_path):
+    state = fgd.create_state(jax.random.PRNGKey(0))
+    restored, ok = load_checkpoint(state, tmp_path / "nope")
+    assert not ok and restored is state
+
+
+def test_guard_finite():
+    import pytest
+
+    from emotiongestures_tpu.utils.profiling import guard_finite
+
+    assert guard_finite({"a": jnp.ones(3)}, enabled=True)
+    with pytest.raises(FloatingPointError):
+        guard_finite({"a": jnp.array([1.0, np.nan])}, enabled=True)
+    # disabled -> no-op
+    assert guard_finite({"a": jnp.array([np.nan])}, enabled=False)
+
+
+def test_bf16_cast(rng):
+    from emotiongestures_tpu.core.precision import bf16_variables, cast_tree
+
+    tree = {"w": jnp.ones((4, 4)), "idx": jnp.arange(3)}
+    out = cast_tree(tree, jnp.bfloat16)
+    assert out["w"].dtype == jnp.bfloat16
+    assert out["idx"].dtype == tree["idx"].dtype
+    variables = {"params": {"k": jnp.ones(2)},
+                 "batch_stats": {"m": jnp.zeros(2)}}
+    cast = bf16_variables(variables)
+    assert cast["params"]["k"].dtype == jnp.bfloat16
+    assert cast["batch_stats"]["m"].dtype == jnp.float32
+
+
+def test_metric_logger(tmp_path):
+    import json
+
+    from emotiongestures_tpu.utils.logging import MetricLogger
+
+    log = MetricLogger(tmp_path / "m.jsonl")
+    log.log(1, loss=0.5)
+    log.log(2, loss=0.25, acc=90.0)
+    lines = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    assert lines[0]["step"] == 1 and lines[1]["acc"] == 90.0
+
+
+def test_average_meter():
+    from emotiongestures_tpu.eval.metrics import AverageMeter
+
+    m = AverageMeter("loss", ":.2f")
+    m.update(1.0)
+    m.update(3.0)
+    assert m.avg == 2.0
+    assert "loss" in str(m)
