@@ -1,0 +1,185 @@
+"""Numerical-parity harness (SURVEY.md §4): transplant our flax generator
+weights into the ACTUAL reference torch model
+(/root/reference/Full_model/Models_memory.py) and compare full forwards
+at fp32. This validates every layer's math end-to-end — attention,
+post-LN ordering, SE-ResNet, TCN weight-norm, memory modules, reshapes.
+
+Skipped when the reference tree is unavailable.
+"""
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not REFERENCE.exists(), reason="reference tree not mounted")
+
+
+@pytest.fixture(scope="module")
+def reference_transformer():
+    sys.path.insert(0, str(REFERENCE))
+    if "torch_dct" not in sys.modules:
+        sys.modules["torch_dct"] = types.ModuleType("torch_dct")
+    from Full_model.Models_memory import Transformer
+
+    yield Transformer
+    sys.path.remove(str(REFERENCE))
+
+
+def test_generator_forward_matches_reference(reference_transformer, rng):
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from emotiongestures_tpu.models import GestureTransformer
+    from emotiongestures_tpu.utils.torch_port import (
+        flax_generator_to_torch_state,
+        load_into_torch,
+    )
+
+    N_WORDS, B = 24, 2
+    ours = GestureTransformer(n_words=N_WORDS)  # flagship dims
+    spec = rng.randn(B, 128, 124).astype(np.float32)
+    text = rng.randint(0, N_WORDS, (B, 60))
+    prior = rng.randn(B, 10, 282).astype(np.float32)
+    sampled = rng.randn(B, 60, 512).astype(np.float32)
+
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(spec),
+                          jnp.asarray(text), jnp.asarray(prior))
+    out_j = ours.apply(variables, jnp.asarray(spec), jnp.asarray(text),
+                       jnp.asarray(prior), jnp.asarray(sampled),
+                       train=False)
+    poses_j, emo_j, sem_j, pred_j, text_j = [np.asarray(x) for x in out_j]
+
+    args = types.SimpleNamespace(dropout_prob=0.1, freeze_wordembed=False,
+                                 hidden_size=300, n_layers=3,
+                                 wordembed_dim=300, chunk=10)
+    lang = types.SimpleNamespace(n_words=N_WORDS,
+                                 word_embedding_weights=None)
+    ref = reference_transformer(
+        args, lang, frames=60, pose_dim=282, prior_frames=10,
+        d_word_vec=512, d_model=512, d_inner=2048, n_layers=3, n_head=8,
+        d_k=64, d_v=64)
+    state = flax_generator_to_torch_state(variables)
+    missing = load_into_torch(ref, state)
+    assert not missing, f"unmapped params: {missing[:10]}"
+    ref.eval()
+    with torch.no_grad():
+        out_t = ref(torch.tensor(spec), torch.tensor(text),
+                    torch.tensor(prior), torch.tensor(sampled))
+    poses_t, emo_t, sem_t, pred_t, text_t = [x.numpy() for x in out_t]
+
+    np.testing.assert_allclose(text_j, text_t, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(emo_j, emo_t, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(sem_j, sem_t, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(pred_j, pred_t, rtol=2e-3, atol=5e-4)
+    np.testing.assert_allclose(poses_j, poses_t, rtol=2e-3, atol=5e-4)
+
+
+def test_motion_discriminator_matches_reference(rng):
+    """Same harness for the Motion_Discriminator (built at d_model=282,
+    the only internally consistent configuration)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    sys.path.insert(0, str(REFERENCE))
+    if "torch_dct" not in sys.modules:
+        sys.modules["torch_dct"] = types.ModuleType("torch_dct")
+    try:
+        from Full_model.Models_memory import Motion_Discriminator
+    finally:
+        sys.path.remove(str(REFERENCE))
+
+    from emotiongestures_tpu.models import MotionDiscriminator
+    from emotiongestures_tpu.utils.torch_port import (
+        _TO_TORCH,
+        _enc_layers,
+        _get,
+        _seq_linears,
+        load_into_torch,
+    )
+
+    B = 2
+    ours = MotionDiscriminator()
+    offsets = rng.randn(B, 59, 282).astype(np.float32)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(offsets))
+    score_j = np.asarray(ours.apply(variables, jnp.asarray(offsets),
+                                    train=False))
+
+    ref = Motion_Discriminator(frames=59, pose_dim=282, d_word_vec=282,
+                               d_model=282, d_inner=1024, n_layers=2,
+                               n_head=8, d_k=64, d_v=64, n_position=59)
+    table = []
+    _enc_layers(table, "encoder", ("encoder",), 2, "slf_attn")
+    _seq_linears(table, "fc1", (), ("fc1",), (0,))
+    _seq_linears(table, "fc2", (),
+                 ("fc2_0", "fc2_1", "fc2_2", "fc2_3", "fc2_4", "fc2_out"),
+                 (0, 2, 4, 6, 8, 10))
+    state = {k: _TO_TORCH[kind](_get(variables, path))
+             for k, path, kind in table}
+    missing = load_into_torch(ref, state)
+    assert not missing, missing[:5]
+    ref.eval()
+    with torch.no_grad():
+        score_t = ref(torch.tensor(offsets)).numpy()
+    np.testing.assert_allclose(score_j, score_t, rtol=2e-3, atol=5e-4)
+
+
+def test_reference_checkpoint_import(reference_transformer, rng):
+    """Import direction: a torch state_dict (with DataParallel 'module.'
+    prefixes like real reference checkpoints) loads into our variables
+    and reproduces the torch forward."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from emotiongestures_tpu.models import GestureTransformer
+    from emotiongestures_tpu.utils.torch_port import (
+        torch_state_to_flax_generator,
+    )
+
+    N_WORDS, B = 24, 2
+    args = types.SimpleNamespace(dropout_prob=0.1, freeze_wordembed=False,
+                                 hidden_size=300, n_layers=3,
+                                 wordembed_dim=300, chunk=10)
+    lang = types.SimpleNamespace(n_words=N_WORDS,
+                                 word_embedding_weights=None)
+    ref = reference_transformer(
+        args, lang, frames=60, pose_dim=282, prior_frames=10,
+        d_word_vec=512, d_model=512, d_inner=2048, n_layers=3, n_head=8,
+        d_k=64, d_v=64)
+    ref.eval()
+    # simulate a DataParallel-saved checkpoint
+    torch_state = {"module." + k: v.numpy()
+                   for k, v in ref.state_dict().items()}
+
+    ours = GestureTransformer(n_words=N_WORDS)
+    spec = rng.randn(B, 128, 124).astype(np.float32)
+    text = rng.randint(0, N_WORDS, (B, 60))
+    prior = rng.randn(B, 10, 282).astype(np.float32)
+    sampled = rng.randn(B, 60, 512).astype(np.float32)
+    template = ours.init(jax.random.PRNGKey(0), jnp.asarray(spec),
+                         jnp.asarray(text), jnp.asarray(prior))
+    variables, unmapped = torch_state_to_flax_generator(template,
+                                                        torch_state)
+    # legitimately unmapped: buffers (pos tables), never-applied layer
+    # norms, the torch TCN's duplicate `net.{i}` aliases, and the decoder
+    # self-attention weights the reference constructs but never calls
+    # (Full_model/Layers.py:53-54)
+    assert all("pos_table" in k or "layer_norm" in k
+               or "position_embeddings" in k or ".net." in k
+               or k.startswith("decoder.") and ".slf_attn." in k
+               for k in unmapped), unmapped
+
+    with torch.no_grad():
+        poses_t = ref(torch.tensor(spec), torch.tensor(text),
+                      torch.tensor(prior), torch.tensor(sampled))[0].numpy()
+    poses_j = np.asarray(ours.apply(
+        variables, jnp.asarray(spec), jnp.asarray(text), jnp.asarray(prior),
+        jnp.asarray(sampled), train=False)[0])
+    np.testing.assert_allclose(poses_j, poses_t, rtol=2e-3, atol=5e-4)
