@@ -48,8 +48,12 @@ def latest_step(directory) -> int | None:
 
 def load_checkpoint(state, directory, step: int | None = None):
     """Restore into an existing TrainState (resume-from-latest when step
-    is None). Returns the restored state, or the input state unchanged if
-    no checkpoint exists."""
+    is None). Returns (state, loaded?). Structure-free restore: params /
+    batch_stats / step always load; opt_state loads when its structure
+    matches the state's optimizer (otherwise the fresh opt_state is kept
+    — e.g. evaluating a checkpoint with a different optimizer config)."""
+    import logging
+
     directory = Path(directory).absolute()
     if step is None:
         step = latest_step(directory)
@@ -57,10 +61,26 @@ def load_checkpoint(state, directory, step: int | None = None):
             return state, False
     path = directory / f"checkpoint_iteration{step}"
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(path, item=_state_tree(state))
-    return state.replace(
-        step=int(restored["step"]),
-        params=restored["params"],
-        batch_stats=restored["batch_stats"],
-        opt_state=restored["opt_state"],
-    ), True
+        raw = ckptr.restore(path)  # nested dicts of numpy arrays
+
+    def graft(template, restored):
+        """Map restored leaves onto the template's pytree structure."""
+        t_leaves, treedef = jax.tree_util.tree_flatten(template)
+        r_leaves = jax.tree_util.tree_leaves(restored)
+        if len(t_leaves) != len(r_leaves):
+            raise ValueError("leaf count mismatch")
+        return jax.tree_util.tree_unflatten(treedef, r_leaves)
+
+    new = state.replace(
+        step=int(np.asarray(raw["step"])),
+        params=graft(state.params, raw["params"]),
+        batch_stats=graft(state.batch_stats, raw["batch_stats"]),
+    )
+    try:
+        new = new.replace(opt_state=graft(state.opt_state,
+                                          raw.get("opt_state", {})))
+    except ValueError:
+        logging.getLogger(__name__).warning(
+            "checkpoint opt_state structure mismatch — keeping fresh "
+            "optimizer state (params/batch_stats restored)")
+    return new, True

@@ -1,0 +1,74 @@
+"""End-to-end integration: train every network on the synthetic dataset,
+checkpoint, then run the full diversity-eval pipeline from those
+checkpoints through the CLI module (SURVEY.md §7 minimum slice, widened).
+Small dims keep CPU compile bounded."""
+import jax
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_full_pipeline_train_then_eval(tmp_path):
+    from emotiongestures_tpu.cli import (
+        test_emotion_gesture_diversity_iterative as eval_cli,
+    )
+    from emotiongestures_tpu.data import SyntheticGestureDataset
+    from emotiongestures_tpu.train import cvae, fgd, gan, skeleton
+    from emotiongestures_tpu.utils import save_checkpoint
+
+    ds = SyntheticGestureDataset(n_samples=16, seed=5)
+
+    # --- tiny GAN training ---------------------------------------------
+    cfg = gan.GANConfig(n_words=64, d_model=64, d_inner=128, n_layers=1,
+                        n_head=4, d_k=16, d_v=16, steps_per_epoch=2)
+    gen_state, disc_state = gan.create_states(cfg, jax.random.PRNGKey(0))
+    for i, batch in enumerate(ds.batches(8, seed=0)):
+        batch = {k: batch[k] for k in ("spectrogram", "text", "pose_seq",
+                                       "eid_label")}
+        gen_state, disc_state, metrics = gan.train_step(
+            gen_state, disc_state, batch, jax.random.PRNGKey(i), cfg,
+            use_disc=False)
+    assert np.isfinite(float(metrics["g_loss"]))
+    save_checkpoint(gen_state, tmp_path / "generator")
+
+    # --- auxiliary nets ---------------------------------------------------
+    fgd_state = fgd.create_state(jax.random.PRNGKey(1))
+    skel_state = skeleton.create_state(jax.random.PRNGKey(2), d_model=512,
+                                       d_inner=128)
+    vae_state = cvae.create_state(jax.random.PRNGKey(3))
+    for i, batch in enumerate(ds.batches(8, seed=1)):
+        fgd_state, _ = fgd.train_step(fgd_state, batch["pose_seq"],
+                                      jax.random.PRNGKey(10 + i))
+        skel_state, _ = skeleton.train_step(
+            skel_state, batch["pose_seq"], batch["eid_label"],
+            jax.random.PRNGKey(20 + i))
+        feats = np.random.RandomState(i).randn(8, 60, 512).astype(
+            np.float32)
+        vae_state, _ = cvae.train_step(vae_state, feats,
+                                       batch["eid_label"],
+                                       jax.random.PRNGKey(30 + i))
+    save_checkpoint(fgd_state, tmp_path / "fgd")
+    save_checkpoint(vae_state, tmp_path / "cvae")
+
+    # --- eval CLI from checkpoints --------------------------------------
+    args = eval_cli.build_parser().parse_args([
+        "--synthetic", "16", "--test_batch_size", "8",
+        "--latent_dim", "128",
+        "--log_save_path", str(tmp_path / "logs"),
+        "--fgd_checkpoint", str(tmp_path / "fgd"),
+        "--cvae_checkpoint", str(tmp_path / "cvae"),
+        "--skip_beat",
+    ])
+    # note: generator checkpoint has non-default dims; the CLI rebuilds
+    # d_model=512 so we evaluate with its random 512 generator here and
+    # separately verify the checkpoint restores into the right state:
+    from emotiongestures_tpu.utils import load_checkpoint
+
+    g2, d2 = gan.create_states(cfg, jax.random.PRNGKey(9))
+    g2, ok = load_checkpoint(g2, tmp_path / "generator")
+    assert ok and int(g2.step) == int(gen_state.step)
+
+    metrics = eval_cli.main(args)
+    for key in ("l2", "mpjre_deg", "fgd", "emotion_acc", "diversity"):
+        assert np.isfinite(metrics[key]), (key, metrics)
+    assert metrics["diversity"] > 0
