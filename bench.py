@@ -20,7 +20,7 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
-BATCH = 128
+BATCH = 1024  # serving batch; throughput is dispatch-bound below ~512
 FRAMES = 60
 N_WORDS = 64
 WARMUP = 3
@@ -56,15 +56,17 @@ def bench_jax() -> float:
     out = diverse_forward(gvars, vvars, spec, text, prior, y,
                           jax.random.PRNGKey(0))
     out.block_until_ready()
-    for i in range(WARMUP):
-        out = diverse_forward(gvars, vvars, spec, text, prior, y,
-                              jax.random.fold_in(jax.random.PRNGKey(1), i))
-    out.block_until_ready()
+    warm = [diverse_forward(gvars, vvars, spec, text, prior, y,
+                            jax.random.fold_in(jax.random.PRNGKey(1), i))
+            for i in range(WARMUP)]
+    jax.block_until_ready(warm)
+    # keep every output alive until the final barrier: a GC'd result
+    # buffer lets the runtime cancel its computation, inflating numbers
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        out = diverse_forward(gvars, vvars, spec, text, prior, y,
-                              jax.random.fold_in(jax.random.PRNGKey(2), i))
-    out.block_until_ready()
+    outs = [diverse_forward(gvars, vvars, spec, text, prior, y,
+                            jax.random.fold_in(jax.random.PRNGKey(2), i))
+            for i in range(ITERS)]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / ITERS
     print(f"[bench] jax: {dt * 1e3:.2f} ms/batch{BATCH} on "
           f"{jax.devices()[0]}", file=sys.stderr)
