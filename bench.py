@@ -24,7 +24,7 @@ BATCH = 1024  # serving batch; throughput is dispatch-bound below ~512
 FRAMES = 60
 N_WORDS = 64
 WARMUP = 3
-ITERS = 20
+ITERS = 40
 BASELINE_CACHE = REPO / "BASELINE_measured.json"
 REFERENCE = Path(os.environ.get("EGTP_REFERENCE", "/root/reference"))
 
@@ -61,13 +61,19 @@ def bench_jax() -> float:
             for i in range(WARMUP)]
     jax.block_until_ready(warm)
     # keep every output alive until the final barrier: a GC'd result
-    # buffer lets the runtime cancel its computation, inflating numbers
-    t0 = time.perf_counter()
-    outs = [diverse_forward(gvars, vvars, spec, text, prior, y,
-                            jax.random.fold_in(jax.random.PRNGKey(2), i))
-            for i in range(ITERS)]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / ITERS
+    # buffer lets the runtime cancel its computation, inflating numbers.
+    # median of 3 rounds tames the tunnel's dispatch-latency noise.
+    times = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        outs = [diverse_forward(gvars, vvars, spec, text, prior, y,
+                                jax.random.fold_in(
+                                    jax.random.PRNGKey(2 + r), i))
+                for i in range(ITERS)]
+        jax.block_until_ready(outs)
+        times.append((time.perf_counter() - t0) / ITERS)
+        del outs
+    dt = sorted(times)[1]
     print(f"[bench] jax: {dt * 1e3:.2f} ms/batch{BATCH} on "
           f"{jax.devices()[0]}", file=sys.stderr)
     return BATCH * FRAMES / dt

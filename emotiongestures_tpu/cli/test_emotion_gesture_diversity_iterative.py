@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--skeleton_checkpoint", type=str, default=None)
     parser.add_argument("--cvae_checkpoint", type=str, default=None)
     parser.add_argument("--n_words", type=int, default=64)
+    parser.add_argument("--d_model", type=int, default=512,
+                        help="generator width (match your checkpoint)")
+    parser.add_argument("--gen_layers", type=int, default=3)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--skip_beat", action="store_true",
                         help="skip host-side beat alignment (fast smoke)")
@@ -102,11 +105,13 @@ def test_model(args, batches, n_words: int):
     key = jax.random.PRNGKey(args.seed)
     k_gen, k_fgd, k_skel, k_vae, k_samp = jax.random.split(key, 5)
 
+    d_model = getattr(args, "d_model", 512)
+    gen_layers = getattr(args, "gen_layers", 3)
     generator = GestureTransformer(
         n_words=n_words, frames=args.n_frames, pose_dim=args.pose_dim,
-        prior_frames=args.n_pre_poses, d_model=512, d_inner=args.latent_dim,
-        n_layers=3, n_head=8, d_k=64, d_v=64, chunk_length=args.chunk,
-        text_dropout=args.dropout_prob)
+        prior_frames=args.n_pre_poses, d_model=d_model,
+        d_inner=args.latent_dim, n_layers=gen_layers, n_head=8, d_k=64,
+        d_v=64, chunk_length=args.chunk, text_dropout=args.dropout_prob)
     fgd_net = FGDAutoEncoder(pose_dim=args.pose_dim)
     skeleton = SkeletonTransformer(
         class_dim=args.class_dim, pose_dim=args.pose_dim, d_model=512,

@@ -31,9 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--model_save_path", type=str,
                         default="./checkpoints/fullmodel_emotion_gesture/")
     parser.add_argument("--save_every", type=int, default=100)
-    parser.add_argument("--d_model", type=int, default=512)
-    parser.add_argument("--gen_layers", type=int, default=3,
-                        help="transformer layers in the generator")
+    # --d_model / --gen_layers come from the shared eval parser
     parser.add_argument("--variant", type=str, default="memory",
                         choices=["memory", "base", "spatial_memory",
                                  "padding_initial"])
