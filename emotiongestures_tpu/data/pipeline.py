@@ -1,0 +1,103 @@
+"""Prefetching host->device input pipeline (SURVEY.md §2.6: the torch
+DataLoader-workers + pin_memory role): a background thread assembles
+batches (using the C++ batch decoder when the dataset is store-backed)
+while the device computes, and batches are `jax.device_put` ahead of
+consumption — a double-buffer that hides host latency behind TPU steps.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+
+class Prefetcher:
+    """Wrap a batch iterator; overlap host batch assembly + H2D transfer
+    with device compute.
+
+    with Prefetcher(dataset.batches(64), buffer_size=2) as it:
+        for batch in it:   # dict of jax.Arrays already on device
+            state, _ = train_step(state, batch, ...)
+    """
+
+    _DONE = object()
+
+    def __init__(self, batches: Iterator[dict], buffer_size: int = 2,
+                 device=None, sharding=None):
+        self.batches = batches
+        self.device = device
+        self.sharding = sharding
+        self.q: queue.Queue = queue.Queue(maxsize=buffer_size)
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._started = False
+
+    def _put(self, batch):
+        target = self.sharding or self.device
+        if target is not None:
+            batch = {k: jax.device_put(v, target) for k, v in batch.items()}
+        else:
+            batch = {k: jax.device_put(v) for k, v in batch.items()}
+        self.q.put(batch)
+
+    def _worker(self):
+        try:
+            for batch in self.batches:
+                self._put({k: v for k, v in batch.items()
+                           if isinstance(v, (np.ndarray, jax.Array))})
+        except BaseException as e:  # propagate into the consumer
+            self._err = e
+        finally:
+            self.q.put(self._DONE)
+
+    def __enter__(self):
+        self._thread.start()
+        self._started = True
+        return self
+
+    def __exit__(self, *exc):
+        if self._started:
+            # drain so the worker can exit
+            while True:
+                try:
+                    if self.q.get_nowait() is self._DONE:
+                        break
+                except queue.Empty:
+                    if not self._thread.is_alive():
+                        break
+            self._thread.join(timeout=5)
+
+    def __iter__(self):
+        if not self._started:
+            self.__enter__()
+        while True:
+            item = self.q.get()
+            if item is self._DONE:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item
+
+
+def store_batches(store, field_names, batch_size: int, labels_fn=None,
+                  shuffle: bool = True, seed: int = 0,
+                  n_threads: int = 0):
+    """Batch iterator straight off a GestureStore using the native batch
+    decoder (data/native codec) — the fastest host path for fixed-shape
+    fields. `labels_fn(record) -> array` covers derived fields (e.g.
+    one-hot emotion labels from aux_info)."""
+    order = np.arange(len(store))
+    if shuffle:
+        np.random.RandomState(seed).shuffle(order)
+    end = len(store) - len(store) % batch_size
+    for i in range(0, end, batch_size):
+        idx = order[i : i + batch_size].astype(np.int64)
+        batch = {name: store.batch_field(idx, name, n_threads)
+                 for name in field_names}
+        if labels_fn is not None:
+            batch["eid_label"] = np.stack(
+                [labels_fn(store[int(j)]) for j in idx])
+        yield batch

@@ -1,0 +1,66 @@
+"""Prefetcher / store_batches pipeline tests."""
+import numpy as np
+
+from emotiongestures_tpu.data import (
+    GestureStore,
+    GestureStoreWriter,
+    SyntheticGestureDataset,
+)
+from emotiongestures_tpu.data.dataset import one_hot_eid
+from emotiongestures_tpu.data.pipeline import Prefetcher, store_batches
+
+
+def test_prefetcher_yields_device_batches():
+    ds = SyntheticGestureDataset(n_samples=12)
+    seen = 0
+    with Prefetcher(ds.batches(4, shuffle=False), buffer_size=2) as it:
+        for batch in it:
+            import jax
+
+            assert isinstance(batch["pose_seq"], jax.Array)
+            assert batch["pose_seq"].shape == (4, 60, 282)
+            seen += 1
+    assert seen == 3
+
+
+def test_prefetcher_matches_sequential():
+    ds = SyntheticGestureDataset(n_samples=8)
+    direct = list(ds.batches(4, shuffle=False))
+    with Prefetcher(ds.batches(4, shuffle=False)) as it:
+        prefetched = list(it)
+    for a, b in zip(direct, prefetched):
+        np.testing.assert_array_equal(a["pose_seq"], np.asarray(
+            b["pose_seq"]))
+
+
+def test_prefetcher_propagates_errors():
+    def bad_iter():
+        yield {"x": np.zeros(3)}
+        raise RuntimeError("boom")
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="boom"):
+        with Prefetcher(bad_iter()) as it:
+            list(it)
+
+
+def test_store_batches_native(tmp_path, rng):
+    with GestureStoreWriter(tmp_path / "c") as w:
+        for i in range(10):
+            w.append({
+                "pose_seq": rng.randn(60, 8).astype(np.float32),
+                "spectrogram": rng.randn(16, 12).astype(np.float16),
+                "aux_info": {"eid": f"1_x_0_{65 + i % 8}_{65 + i % 8}"},
+            })
+    store = GestureStore(tmp_path / "c")
+    batches = list(store_batches(
+        store, ["pose_seq", "spectrogram"], batch_size=4,
+        labels_fn=lambda rec: one_hot_eid(rec["aux_info"]["eid"]),
+        shuffle=False))
+    assert len(batches) == 2
+    assert batches[0]["pose_seq"].shape == (4, 60, 8)
+    assert batches[0]["spectrogram"].dtype == np.float32
+    assert batches[0]["eid_label"].shape == (4, 8)
+    np.testing.assert_array_equal(batches[0]["pose_seq"][0],
+                                  store[0]["pose_seq"])
