@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--skip_beat", action="store_true",
                         help="skip host-side beat alignment (fast smoke)")
+    parser.add_argument("--num_diversity_passes", type=int, default=1,
+                        help="extra CVAE-noise passes pooled into the "
+                             "diversity estimate (the reference's "
+                             "'iterative' re-runs, batched on device)")
     return parser
 
 
@@ -166,7 +170,7 @@ def test_model(args, batches, n_words: int):
     t_start = 0
     t_end = int(args.n_poses / args.motion_resampling_framerate)
 
-    pred_feats, target_feats = [], []
+    pred_feats, target_feats, extra_feats = [], [], []
     total_error_pose = 0.0
     total_rot = []
     all_acc = 0.0
@@ -183,6 +187,18 @@ def test_model(args, batches, n_words: int):
             jnp.asarray(batch["text"]),
             jnp.asarray(batch["pose_seq"]),
             jnp.asarray(batch["eid_label"]), key)
+        # extra diversity passes: same inputs, fresh CVAE noise
+        # (the reference reruns the whole script; one jitted call here).
+        # Pooled into the diversity estimate only — FGD keeps one pass.
+        for extra in range(max(args.num_diversity_passes, 1) - 1):
+            k2 = jax.random.fold_in(key, 1000 + extra)
+            _, _, pf2, _, _ = eval_batch(
+                gv, fv, sv, vv,
+                jnp.asarray(batch["spectrogram"]),
+                jnp.asarray(batch["text"]),
+                jnp.asarray(batch["pose_seq"]),
+                jnp.asarray(batch["eid_label"]), k2)
+            extra_feats.append(np.asarray(pf2))
         pred_np = np.asarray(pred_pose, dtype=np.float32)
         target_np = np.asarray(batch["pose_seq"], dtype=np.float32)
         labels = np.argmax(batch["eid_label"], axis=1)
@@ -200,7 +216,9 @@ def test_model(args, batches, n_words: int):
     pred_arr = np.concatenate(pred_feats)
     target_arr = np.concatenate(target_feats)
     fid_value = frechet_from_features(pred_arr, target_arr)
-    div_score, div_interval = diversity_score(pred_arr, seed=args.seed)
+    div_arr = (np.concatenate(pred_feats + extra_feats)
+               if extra_feats else pred_arr)
+    div_score, div_interval = diversity_score(div_arr, seed=args.seed)
     avg_bl = bl_score / n_beat_samples if n_beat_samples else 0.0
     total_error_pose /= total_steps
     total_rotation_error = float(np.mean(total_rot))
