@@ -121,7 +121,7 @@ def test_model(args, batches, n_words: int):
         class_dim=args.class_dim, pose_dim=args.pose_dim, d_model=512,
         d_inner=args.latent_dim, n_layers=3, n_head=8, d_k=64, d_v=64,
         n_position=60)
-    vae = EmotionCVAEv3()
+    vae = EmotionCVAEv3(feat_dim=d_model)
 
     dummy_spec = jnp.zeros((1, 128, 124), jnp.float32)
     dummy_text = jnp.zeros((1, args.n_frames), jnp.int32)
@@ -131,7 +131,7 @@ def test_model(args, batches, n_words: int):
     fvars = fgd_net.init(k_fgd, dummy_pose)
     svars = skeleton.init(k_skel, dummy_pose)
     vvars = vae.init({"params": k_vae, "sample": k_samp}, jnp.zeros(
-        (1, 60, 512), jnp.float32), jnp.zeros((1, 8), jnp.float32))
+        (1, 60, d_model), jnp.float32), jnp.zeros((1, 8), jnp.float32))
 
     # optional checkpoint restore (orbax); dir layout mirrors reference paths
     from ..core import schedules

@@ -6,7 +6,6 @@ weights.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

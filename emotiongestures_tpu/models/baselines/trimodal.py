@@ -4,7 +4,6 @@ discriminators.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -202,12 +202,15 @@ class EmotionCVAEv3(nn.Module):
         self.y_embed = _YEmbed(name="y_embed")
         self.fc_mu = _MLPStack((128, self.latent_dim), name="fc_mu")
         self.fc_var = _MLPStack((128, self.latent_dim), name="fc_var")
-        self.fusion = _MLPStack((128, 4 * 128), name="fusion")
+        # 4 latent frame-channels over feat_dim/4 length (512 -> 4x128 in
+        # the reference; parametric so d_model != 512 generators work)
+        self.fusion = _MLPStack((128, 4 * (self.feat_dim // 4)),
+                                name="fusion")
 
     def _fuse_decode(self, z, post_y, n, train):
         z = jnp.concatenate([z, post_y], axis=1)
         z = self.fusion(z, train=train)
-        z = z.reshape(n, 4, 128)
+        z = z.reshape(n, 4, self.feat_dim // 4)
         return self.decoder(z, train=train)
 
     def __call__(self, x, y, train: bool = False):

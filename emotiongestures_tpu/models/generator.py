@@ -28,7 +28,6 @@ init_xavier_all=False at construction of the params, see
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -18,7 +18,6 @@ what dot_general needs — XLA maps these straight onto the MXU):
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

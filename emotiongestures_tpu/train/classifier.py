@@ -71,6 +71,37 @@ def confusion_matrix(preds, labels, n_classes: int = 8):
     return cm
 
 
+def vis_confusion_matrix(conf_matrix: np.ndarray, save_path: str,
+                         labels=None):
+    """Confusion-matrix figure (train_...py:62-87); rows = predictions,
+    columns = truth, counts annotated."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..data.dataset import EMOTION_LABELS
+
+    labels = labels or EMOTION_LABELS
+    n = len(labels)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    ax.imshow(conf_matrix, cmap=plt.cm.Blues)
+    thresh = conf_matrix.max() / 2 if conf_matrix.max() else 0.5
+    for x in range(n):
+        for y in range(n):
+            info = int(conf_matrix[y, x])
+            ax.text(x, y, info, va="center", ha="center",
+                    color="white" if info > thresh else "black")
+    ax.set_yticks(range(n))
+    ax.set_yticklabels(labels)
+    ax.set_xticks(range(n))
+    ax.set_xticklabels(labels, rotation=30)
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=200)
+    plt.close(fig)
+    return save_path
+
+
 def class_alpha(labels_onehot: np.ndarray, n_classes: int = 8) -> np.ndarray:
     """Per-class re-weighting (train_...py:147-151):
     alpha_c = sum(count) / (n_classes * count_c)."""

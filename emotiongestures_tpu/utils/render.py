@@ -110,7 +110,6 @@ def create_video_and_save(save_path, epoch, prefix, iter_idx, target,
 
 def _write_wav(path, audio, sr: int = 16000):
     """Minimal 16-bit PCM wav writer (soundfile not required)."""
-    import struct
     import wave
 
     data = np.clip(audio, -1.0, 1.0)
