@@ -250,6 +250,27 @@ def torch_state_to_flax_generator(variables, torch_state,
     return new_vars, unmapped
 
 
+def load_reference_dict_checkpoint(path, map_location="cpu"):
+    """Load the reference's rich dict checkpoints
+    (utils/train_utils.py:168-213): {'args', 'epoch', 'lang_model',
+    'speaker_model', 'pose_dim', 'gen_dict' | 'gen_dict_1..3'+'audio_dict'}.
+    Returns the raw dict with every state_dict's 'module.' prefixes
+    stripped; feed `gen_dict` to torch_state_to_flax_generator or the
+    hierarchical dicts to the corresponding baseline ports."""
+    import torch
+
+    checkpoint = torch.load(path, map_location=map_location,
+                            weights_only=False)
+
+    def strip(sd):
+        return {k.replace("module.", "", 1): v for k, v in sd.items()}
+
+    for key in list(checkpoint.keys()):
+        if key.endswith("_dict") or key.startswith("gen_dict"):
+            checkpoint[key] = strip(checkpoint[key])
+    return checkpoint
+
+
 def load_into_torch(torch_module, state: dict, strict: bool = False):
     """Load a numpy state dict produced above into a torch module,
     keeping torch-side buffers (pos tables, unused layer norms) as-is."""

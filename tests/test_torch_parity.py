@@ -183,3 +183,26 @@ def test_reference_checkpoint_import(reference_transformer, rng):
         variables, jnp.asarray(spec), jnp.asarray(text), jnp.asarray(prior),
         jnp.asarray(sampled), train=False)[0])
     np.testing.assert_allclose(poses_j, poses_t, rtol=2e-3, atol=5e-4)
+
+
+def test_reference_dict_checkpoint_loader(tmp_path):
+    """Rich dict checkpoints (utils/train_utils.py:168-213) load with
+    module.-prefix stripping on every contained state_dict."""
+    import torch
+
+    from emotiongestures_tpu.utils.torch_port import (
+        load_reference_dict_checkpoint,
+    )
+
+    ckpt = {"args": {"n_poses": 34}, "epoch": 7, "lang_model": None,
+            "speaker_model": None, "pose_dim": 27,
+            "gen_dict": {"module.fc.weight": torch.zeros(2, 3)},
+            "gen_dict_1": {"module.gru.weight": torch.ones(4)},
+            "audio_dict": {"module.conv.weight": torch.ones(1)}}
+    p = tmp_path / "ckpt.pth"
+    torch.save(ckpt, p)
+    out = load_reference_dict_checkpoint(p)
+    assert "fc.weight" in out["gen_dict"]
+    assert "gru.weight" in out["gen_dict_1"]
+    assert "conv.weight" in out["audio_dict"]
+    assert out["epoch"] == 7 and out["pose_dim"] == 27
