@@ -1,0 +1,89 @@
+"""Flag-surface compatibility with the reference CLIs
+(train_audio_classifier_K_fold.py:309-331, test_...py:345-377):
+every reference flag must exist with the same type and default
+(paths excepted — ours default to relative dirs, not the authors'
+absolute machine paths)."""
+from emotiongestures_tpu.cli.test_emotion_gesture_diversity_iterative import (
+    build_parser as eval_parser,
+)
+from emotiongestures_tpu.cli.train_audio_classifier_K_fold import (
+    build_parser as train_parser,
+)
+
+TRAIN_FLAGS = {
+    "motion_resampling_framerate": 15,
+    "n_poses": 60,
+    "n_pre_poses": 15,
+    "subdivision_stride": 30,
+    "loader_workers": 4,
+    "batch_size": 128,
+    "lr": 0.0003,
+    "beta1": 0.5,
+    "beta2": 0.999,
+    "total_epoch": 60,
+    "pose_dim": 4,
+    "latent_dim": 128,
+    "wordembed_dim": 300,
+    "input_context": "text",
+}
+
+EVAL_FLAGS = {
+    "motion_resampling_framerate": 15,
+    "n_poses": 60,
+    "n_frames": 60,
+    "n_pre_poses": 10,
+    "class_dim": 8,
+    "chunk": 10,
+    "subdivision_stride": 30,
+    "loader_workers": 4,
+    "batch_size": 128,
+    "test_batch_size": 1024,
+    "lr": 0.0002,
+    "beta1": 0.5,
+    "beta2": 0.999,
+    "pose_dis_warm_epoch": 0,
+    "loss_regression_weight": 100,
+    "dropout_prob": 0.1,
+    "freeze_wordembed": False,
+    "hidden_size": 300,
+    "n_layers": 3,
+    "total_epoch": 100,
+    "pose_dim": 282,
+    "latent_dim": 2048,
+    "wordembed_dim": 300,
+    "input_context": "text",
+}
+
+PATH_FLAGS_TRAIN = ["model_save_path", "wordembed_path", "train_data_path",
+                    "val_data_path", "test_data_path"]
+PATH_FLAGS_EVAL = ["log_save_path", "wordembed_path", "train_data_path",
+                   "val_data_path", "test_data_path"]
+
+
+def _check(parser, flags, path_flags):
+    args = parser.parse_args([])
+    for name, default in flags.items():
+        assert hasattr(args, name), f"missing flag --{name}"
+        got = getattr(args, name)
+        assert got == default, (name, got, default)
+    for name in path_flags:
+        assert hasattr(args, name), f"missing path flag --{name}"
+
+
+def test_train_cli_flag_surface():
+    _check(train_parser(), TRAIN_FLAGS, PATH_FLAGS_TRAIN)
+
+
+def test_eval_cli_flag_surface():
+    _check(eval_parser(), EVAL_FLAGS, PATH_FLAGS_EVAL)
+
+
+def test_flags_accept_reference_style_invocations():
+    args = eval_parser().parse_args([
+        "--motion_resampling_framerate", "15", "--n_poses", "60",
+        "--test_batch_size", "1024", "--pose_dim", "282",
+        "--latent_dim", "2048", "--wordembed_dim", "300",
+        "--input_context", "text",
+        "--train_data_path", "/data/beat_trainable_dataset/train/",
+    ])
+    assert args.test_batch_size == 1024
