@@ -22,15 +22,28 @@ def _state_tree(state):
     }
 
 
-def save_checkpoint(state, directory, step: int | None = None):
+def save_checkpoint(state, directory, step: int | None = None,
+                    max_to_keep: int | None = 5):
     """Write `checkpoint_iteration{step}` under `directory` (the
-    reference's naming, train_...py:197-199)."""
+    reference's naming, train_...py:197-199), pruning to the newest
+    `max_to_keep` checkpoints (None keeps everything)."""
+    import shutil
+
     directory = Path(directory).absolute()
     directory.mkdir(parents=True, exist_ok=True)
     step = int(state.step) if step is None else int(step)
     path = directory / f"checkpoint_iteration{step}"
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, _state_tree(state), force=True)
+    if max_to_keep is not None:
+        steps = sorted(
+            int(m.group(1))
+            for p in directory.iterdir()
+            if (m := re.fullmatch(r"checkpoint_iteration(\d+)", p.name))
+        )
+        for old in steps[:-max_to_keep]:
+            shutil.rmtree(directory / f"checkpoint_iteration{old}",
+                          ignore_errors=True)
     return path
 
 
