@@ -362,6 +362,9 @@ class GestureTransformer(nn.Module):
     text_dropout: float = 0.1
     n_emotions: int = 8
     variant: str = "memory"  # memory | base | spatial_memory | padding_initial
+    # route eval-mode attention sublayers through the fused Pallas kernel
+    # (ops/pallas_attention.py); identical params & math, serving-only win
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, spec, text, prior_seq, sampled_emotion_feature=None,
@@ -420,13 +423,15 @@ class GestureTransformer(nn.Module):
             n_layers=self.n_layers, n_head=self.n_head,
             d_k=self.d_k, d_v=self.d_v, d_model=self.d_model,
             d_inner=self.d_inner, dropout=self.dropout,
-            n_position=self.n_position, name="encoder",
+            n_position=self.n_position, fused=self.fused_attention,
+            name="encoder",
         )(fusion, train=train)
         dec_output = TransformerDecoder(
             n_layers=self.n_layers, n_head=self.n_head,
             d_k=self.d_k, d_v=self.d_v, d_model=self.d_model,
             d_inner=self.d_inner, dropout=self.dropout,
-            n_position=self.n_position, name="decoder",
+            n_position=self.n_position, fused=self.fused_attention,
+            name="decoder",
         )(prior, enc_output, train=train)
 
         # post projector (Models_memory.py:483-491)

@@ -20,19 +20,58 @@ from __future__ import annotations
 
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..core import init as winit
 from ..core.layers import Linear, sinusoid_position_table
 
 
+class _RawKernel(nn.Module):
+    """Bias-free projection kernel exposed as a raw matrix so the fused
+    Pallas path and the einsum path share the same parameter
+    (`<name>/kernel`, identical tree to a bias-free Linear)."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", winit.xavier_uniform,
+                          (self.in_features, self.out_features))
+
+
+class _RawLayerNorm(nn.Module):
+    """LayerNorm with raw scale/bias params (tree-identical to
+    nn.LayerNorm) usable from both the einsum and fused paths."""
+
+    features: int
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x=None):
+        scale = self.param("scale", winit.ones, (self.features,))
+        bias = self.param("bias", winit.zeros, (self.features,))
+        if x is None:
+            return scale, bias
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+
+
 class MultiHeadAttention(nn.Module):
+    """Post-LN MHA. `fused=True` routes eval-mode unmasked calls with
+    d_v == d_k and sequences <= 64 through the fused Pallas sublayer
+    kernel (ops/pallas_attention.py) — same params, same math, one VMEM
+    round-trip; all other calls use the einsum path."""
+
     n_head: int
     d_model: int
     d_k: int
     d_v: int
     dropout: float = 0.1
     attn_dropout: float = 0.1
+    fused: bool = False
 
     @nn.compact
     def __call__(self, q, k, v, mask=None, train: bool = False):
@@ -41,26 +80,36 @@ class MultiHeadAttention(nn.Module):
         H, dk, dv = self.n_head, self.d_k, self.d_v
         residual = q
 
-        q = Linear(H * dk, use_bias=False, kernel_init=winit.xavier_uniform,
-                   name="w_qs")(q).reshape(B, Lq, H, dk)
-        k = Linear(H * dk, use_bias=False, kernel_init=winit.xavier_uniform,
-                   name="w_ks")(k).reshape(B, Lk, H, dk)
-        v = Linear(H * dv, use_bias=False, kernel_init=winit.xavier_uniform,
-                   name="w_vs")(v).reshape(B, Lk, H, dv)
+        wq = _RawKernel(q.shape[-1], H * dk, name="w_qs")()
+        wk = _RawKernel(k.shape[-1], H * dk, name="w_ks")()
+        wv = _RawKernel(v.shape[-1], H * dv, name="w_vs")()
+        wo = _RawKernel(H * dv, self.d_model, name="fc")()
+        ln = _RawLayerNorm(self.d_model, name="layer_norm")
 
-        scale = 1.0 / jnp.sqrt(jnp.asarray(dk, dtype=q.dtype))
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+        can_fuse = (self.fused and not train and mask is None
+                    and dk == dv and Lq <= 64 and Lk <= 64
+                    and q.shape[-1] == k.shape[-1] == self.d_model)
+        if can_fuse:
+            from ..ops.pallas_attention import fused_attention
+
+            ln_scale, ln_bias = ln()
+            out = fused_attention(q, k, wq, wk, wv, wo, ln_scale, ln_bias,
+                                  n_head=H, d_k=dk)
+            return out, None
+
+        qh = (q @ wq).reshape(B, Lq, H, dk)
+        kh = (k @ wk).reshape(B, Lk, H, dk)
+        vh = (v @ wv).reshape(B, Lk, H, dv)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(dk, dtype=qh.dtype))
+        attn = jnp.einsum("bqhd,bkhd->bhqk", qh * scale, kh)
         if mask is not None:
             attn = jnp.where(mask == 0, jnp.asarray(-1e9, attn.dtype), attn)
         attn = nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.attn_dropout, deterministic=not train)(attn)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, Lq, H * dv)
-        out = Linear(self.d_model, use_bias=False,
-                     kernel_init=winit.xavier_uniform, name="fc")(out)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(B, Lq, H * dv)
+        out = out @ wo
         out = nn.Dropout(self.dropout, deterministic=not train)(out)
-        out = out + residual
-        out = nn.LayerNorm(epsilon=1e-6, name="layer_norm")(out)
-        return out, attn
+        return ln(out + residual), attn
 
 
 class PositionwiseFeedForward(nn.Module):
@@ -86,12 +135,13 @@ class EncoderLayer(nn.Module):
     d_k: int
     d_v: int
     dropout: float = 0.1
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, slf_attn_mask=None, train: bool = False):
         x, attn = MultiHeadAttention(
             self.n_head, self.d_model, self.d_k, self.d_v,
-            dropout=self.dropout, name="slf_attn",
+            dropout=self.dropout, fused=self.fused, name="slf_attn",
         )(x, x, x, mask=slf_attn_mask, train=train)
         x = PositionwiseFeedForward(
             self.d_model, self.d_inner, dropout=self.dropout, name="pos_ffn"
@@ -109,13 +159,14 @@ class DecoderLayer(nn.Module):
     d_k: int
     d_v: int
     dropout: float = 0.1
+    fused: bool = False
 
     @nn.compact
     def __call__(self, dec_input, enc_output, dec_enc_attn_mask=None,
                  train: bool = False):
         x, attn = MultiHeadAttention(
             self.n_head, self.d_model, self.d_k, self.d_v,
-            dropout=self.dropout, name="enc_attn",
+            dropout=self.dropout, fused=self.fused, name="enc_attn",
         )(dec_input, enc_output, enc_output, mask=dec_enc_attn_mask,
           train=train)
         x = PositionwiseFeedForward(
@@ -149,6 +200,7 @@ class TransformerEncoder(nn.Module):
     d_inner: int
     dropout: float = 0.1
     n_position: int = 200
+    fused: bool = False
 
     @nn.compact
     def __call__(self, src_seq, src_mask=None, train: bool = False):
@@ -158,7 +210,7 @@ class TransformerEncoder(nn.Module):
         for i in range(self.n_layers):
             x, _ = EncoderLayer(
                 self.d_model, self.d_inner, self.n_head, self.d_k, self.d_v,
-                dropout=self.dropout, name=f"layer_{i}",
+                dropout=self.dropout, fused=self.fused, name=f"layer_{i}",
             )(x, slf_attn_mask=src_mask, train=train)
         # NOTE: the reference constructs a final LayerNorm but never applies
         # it in forward (Models_memory.py:366, 368-391); we match.
@@ -177,6 +229,7 @@ class TransformerDecoder(nn.Module):
     d_inner: int
     dropout: float = 0.1
     n_position: int = 200
+    fused: bool = False
 
     @nn.compact
     def __call__(self, trg_seq, enc_output, dec_enc_attn_mask=None,
@@ -185,7 +238,7 @@ class TransformerDecoder(nn.Module):
         for i in range(self.n_layers):
             x, _ = DecoderLayer(
                 self.d_model, self.d_inner, self.n_head, self.d_k, self.d_v,
-                dropout=self.dropout, name=f"layer_{i}",
+                dropout=self.dropout, fused=self.fused, name=f"layer_{i}",
             )(x, enc_output, dec_enc_attn_mask=dec_enc_attn_mask, train=train)
         return x
 

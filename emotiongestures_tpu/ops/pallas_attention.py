@@ -32,16 +32,17 @@ from jax.experimental.pallas import tpu as pltpu
 SEQ_PAD = 64  # 60 query/key rows padded to a sublane multiple
 
 
-def _mha_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, scale_ref, bias_ref,
-                out_ref, *, n_head: int, d_k: int, seq_len: int):
-    x = x_ref[0]  # (SEQ_PAD, d_model)
+def _mha_kernel(q_ref, kv_ref, wq_ref, wk_ref, wv_ref, wo_ref, scale_ref,
+                bias_ref, out_ref, *, n_head: int, d_k: int, kv_len: int):
+    x = q_ref[0]  # (SEQ_PAD, d_model) — queries; also the residual
+    kv = kv_ref[0]
     q = jnp.dot(x, wq_ref[:], preferred_element_type=jnp.float32)
-    k = jnp.dot(x, wk_ref[:], preferred_element_type=jnp.float32)
-    v = jnp.dot(x, wv_ref[:], preferred_element_type=jnp.float32)
+    k = jnp.dot(kv, wk_ref[:], preferred_element_type=jnp.float32)
+    v = jnp.dot(kv, wv_ref[:], preferred_element_type=jnp.float32)
 
     inv_temp = 1.0 / math.sqrt(d_k)
     key_ids = jax.lax.broadcasted_iota(jnp.int32, (SEQ_PAD, SEQ_PAD), 1)
-    key_mask = key_ids < seq_len  # mask padded KEY columns
+    key_mask = key_ids < kv_len  # mask padded KEY columns
 
     ctx_heads = []
     for h in range(n_head):
@@ -62,41 +63,48 @@ def _mha_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, scale_ref, bias_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("n_head", "d_k", "interpret"))
-def fused_self_attention(x, wq, wk, wv, wo, ln_scale, ln_bias,
-                         n_head: int = 8, d_k: int = 64,
-                         interpret: bool = False):
-    """x: (B, L, d_model) with L <= 64; weights (d_model, n_head*d_k) /
-    (n_head*d_k, d_model); returns the post-LN attention sublayer output
-    (B, L, d_model), eval mode (no dropout)."""
-    B, L, D = x.shape
-    xp = jnp.pad(x, ((0, 0), (0, SEQ_PAD - L), (0, 0)))
+def fused_attention(q_in, kv_in, wq, wk, wv, wo, ln_scale, ln_bias,
+                    n_head: int = 8, d_k: int = 64,
+                    interpret: bool = False):
+    """Fused post-LN attention sublayer, self- OR cross-attention.
+    q_in: (B, Lq, d_model) (also the residual), kv_in: (B, Lk, d_model),
+    Lq, Lk <= 64; weights (d_model, n_head*d_k) / (n_head*d_k, d_model).
+    Eval mode (no dropout)."""
+    B, Lq, D = q_in.shape
+    Lk = kv_in.shape[1]
+    qp = jnp.pad(q_in, ((0, 0), (0, SEQ_PAD - Lq), (0, 0)))
+    kvp = jnp.pad(kv_in, ((0, 0), (0, SEQ_PAD - Lk), (0, 0)))
     kernel = functools.partial(_mha_kernel, n_head=n_head, d_k=d_k,
-                               seq_len=L)
+                               kv_len=Lk)
+    full = pl.BlockSpec((1, SEQ_PAD, D), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    wspec = lambda shape: pl.BlockSpec(shape, lambda b: (0, 0),
+                                       memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, SEQ_PAD, D), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, n_head * d_k), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, n_head * d_k), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, n_head * d_k), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_head * d_k, D), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
+            full, full,
+            wspec((D, n_head * d_k)),
+            wspec((D, n_head * d_k)),
+            wspec((D, n_head * d_k)),
+            wspec((n_head * d_k, D)),
+            wspec((1, D)),
+            wspec((1, D)),
         ],
-        out_specs=pl.BlockSpec((1, SEQ_PAD, D), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=full,
         out_shape=jax.ShapeDtypeStruct((B, SEQ_PAD, D), jnp.float32),
         interpret=interpret,
-    )(xp, wq, wk, wv, wo, ln_scale[None, :], ln_bias[None, :])
-    return out[:, :L, :]
+    )(qp, kvp, wq, wk, wv, wo, ln_scale[None, :], ln_bias[None, :])
+    return out[:, :Lq, :]
+
+
+def fused_self_attention(x, wq, wk, wv, wo, ln_scale, ln_bias,
+                         n_head: int = 8, d_k: int = 64,
+                         interpret: bool = False):
+    """Self-attention convenience wrapper (q = k = v = x)."""
+    return fused_attention(x, x, wq, wk, wv, wo, ln_scale, ln_bias,
+                           n_head=n_head, d_k=d_k, interpret=interpret)
 
 
 def attention_params_from_flax(mha_params):
