@@ -60,3 +60,15 @@ def test_make_audio_fixed_length(rng):
     assert len(M.make_audio_fixed_length(y, 150)) == 150
     assert len(M.make_audio_fixed_length(y, 50)) == 50
     np.testing.assert_array_equal(M.make_audio_fixed_length(y, 50), y[:50])
+
+
+def test_constant_pad_mode_matches_numpy(rng):
+    """librosa >=0.10 defaults to pad_mode='constant'; both modes must
+    agree with the oracle."""
+    y = rng.randn(8000).astype(np.float32)
+    ref = M._melspectrogram_np(y, pad_mode="constant")
+    got = np.asarray(M.melspectrogram(y, pad_mode="constant"))
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+    # and reflect vs constant genuinely differ at the edges
+    got_reflect = np.asarray(M.melspectrogram(y, pad_mode="reflect"))
+    assert not np.allclose(got, got_reflect)
