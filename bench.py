@@ -4,12 +4,32 @@ Measures the eval entry point's device hot path (test_...py:191-248):
 CVAE prior sampling + full generator forward, as ONE jitted function, and
 reports generated gesture frames/sec/chip.
 
-Baseline (BASELINE.md): the PyTorch reference generator running the same
-batch on CPU, imported straight from /root/reference (stubbed optional
-deps), measured once and cached in BASELINE_measured.json.
+Measurement honesty (round-2 hardening — see BASELINE.md):
+  * On this TPU-via-tunnel runtime, `block_until_ready` can return before
+    execution and GC'd result buffers let the runtime cancel queued
+    computations, so naive timing loops overstate throughput by ~100x.
+    Every timed call therefore returns a scalar CHECKSUM over all model
+    outputs; the checksums are stacked on device and fetched to host
+    *inside the timed region* — a data dependency the runtime cannot
+    cancel or reorder around.
+  * Analytic FLOP count from XLA's own cost model
+    (`compiled.cost_analysis()['flops']`) → implied TFLOP/s + MFU are
+    printed, and MFU is asserted < 100% of the chip's bf16 peak.
+  * Latency is asserted to GROW with batch size (a flat latency curve
+    means dispatch is being measured, not compute).
+
+Baseline (BASELINE.md): the PyTorch reference generator running on CPU,
+imported straight from /root/reference (stubbed optional deps), measured
+once and cached in BASELINE_measured.json. The CPU baseline uses batch 16
+(its per-(batch,frame) python-loop memory module makes batch 1024
+infeasible on CPU); batch sizes for both sides are recorded in the JSON.
 
 Prints exactly one JSON line on stdout:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": R}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": R, ...}
+
+Extra modes (for BASELINE.md rows, not the driver):
+  python bench.py --train   # GAN train_step steps/s at the flagship config
+  python bench.py --eval    # eval feature+metric device pipeline at batch 1024
 """
 from __future__ import annotations
 
@@ -20,16 +40,57 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
-BATCH = 1024  # serving batch; throughput is dispatch-bound below ~512
+BATCH = 1024  # serving batch
+SMALL_BATCH = 128  # for the latency-grows-with-batch sanity check
 FRAMES = 60
 N_WORDS = 64
 WARMUP = 3
-ITERS = 40
+ITERS = 20
+ROUNDS = 3
+BF16_PEAK_FLOPS = 197e12  # v5e MXU peak (bf16); fp32 achievable is lower
 BASELINE_CACHE = REPO / "BASELINE_measured.json"
 REFERENCE = Path(os.environ.get("EGTP_REFERENCE", "/root/reference"))
 
 
-def bench_jax() -> float:
+def _median(xs):
+    return sorted(xs)[len(xs) // 2]
+
+
+def _cost_flops(compiled) -> float | None:
+    """XLA's analytic FLOP count for a compiled computation."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def timed_rounds(step, iters=ITERS, rounds=ROUNDS, warmup=WARMUP):
+    """Median-of-rounds seconds/iteration for `step(i) -> scalar checksum`.
+
+    The stack of all per-iteration checksums is fetched to host before the
+    clock stops, forcing execution of every timed computation.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    warm = [step(i) for i in range(warmup)]
+    total = float(jnp.stack(warm).sum())
+    assert np.isfinite(total), f"non-finite warmup checksum: {total}"
+    times = []
+    for r in range(rounds):
+        t0 = time.perf_counter()
+        sums = [step((r + 1) * 1000 + i) for i in range(iters)]
+        total = float(jnp.stack(sums).sum())  # host fetch INSIDE the clock
+        times.append((time.perf_counter() - t0) / iters)
+        assert np.isfinite(total), f"non-finite checksum: {total}"
+    return _median(times)
+
+
+def _build_forward(batch):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -39,10 +100,10 @@ def bench_jax() -> float:
     rng = np.random.RandomState(0)
     gen = GestureTransformer(n_words=N_WORDS, frames=FRAMES)
     vae = EmotionCVAEv3()
-    spec = jnp.asarray(rng.randn(BATCH, 128, 124), jnp.float32)
-    text = jnp.asarray(rng.randint(0, N_WORDS, (BATCH, FRAMES)))
-    prior = jnp.asarray(rng.randn(BATCH, 10, 282), jnp.float32)
-    y = jax.nn.one_hot(jnp.arange(BATCH) % 8, 8)
+    spec = jnp.asarray(rng.randn(batch, 128, 124), jnp.float32)
+    text = jnp.asarray(rng.randint(0, N_WORDS, (batch, FRAMES)))
+    prior = jnp.asarray(rng.randn(batch, 10, 282), jnp.float32)
+    y = jax.nn.one_hot(jnp.arange(batch) % 8, 8)
     gvars = gen.init(jax.random.PRNGKey(0), spec, text, prior)
     vvars = vae.init(
         {"params": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(2)},
@@ -51,32 +112,54 @@ def bench_jax() -> float:
     @jax.jit
     def diverse_forward(gv, vv, spec, text, prior, y, key):
         sampled = vae.apply(vv, y, method="sample", rngs={"sample": key})
-        return gen.apply(gv, spec, text, prior, sampled, train=False)[0]
+        outs = gen.apply(gv, spec, text, prior, sampled, train=False)
+        # checksum over EVERY output so nothing is dead-code-eliminated
+        return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
 
-    out = diverse_forward(gvars, vvars, spec, text, prior, y,
-                          jax.random.PRNGKey(0))
-    out.block_until_ready()
-    warm = [diverse_forward(gvars, vvars, spec, text, prior, y,
-                            jax.random.fold_in(jax.random.PRNGKey(1), i))
-            for i in range(WARMUP)]
-    jax.block_until_ready(warm)
-    # keep every output alive until the final barrier: a GC'd result
-    # buffer lets the runtime cancel its computation, inflating numbers.
-    # median of 3 rounds tames the tunnel's dispatch-latency noise.
-    times = []
-    for r in range(3):
-        t0 = time.perf_counter()
-        outs = [diverse_forward(gvars, vvars, spec, text, prior, y,
-                                jax.random.fold_in(
-                                    jax.random.PRNGKey(2 + r), i))
-                for i in range(ITERS)]
-        jax.block_until_ready(outs)
-        times.append((time.perf_counter() - t0) / ITERS)
-        del outs
-    dt = sorted(times)[1]
-    print(f"[bench] jax: {dt * 1e3:.2f} ms/batch{BATCH} on "
-          f"{jax.devices()[0]}", file=sys.stderr)
-    return BATCH * FRAMES / dt
+    args = (gvars, vvars, spec, text, prior, y)
+    flops = _cost_flops(
+        diverse_forward.lower(*args, jax.random.PRNGKey(0)).compile())
+
+    def step(i):
+        return diverse_forward(*args, jax.random.PRNGKey(i))
+
+    return step, flops
+
+
+def bench_jax() -> dict:
+    import jax
+
+    dev = jax.devices()[0]
+    # sanity probe at a small batch: latency must grow with batch size
+    small_step, _ = _build_forward(SMALL_BATCH)
+    dt_small = timed_rounds(small_step)
+    step, flops = _build_forward(BATCH)
+    dt = timed_rounds(step)
+
+    ratio = dt / dt_small
+    assert ratio > 2.0, (
+        f"latency flat across batch {SMALL_BATCH}->{BATCH} "
+        f"(x{ratio:.2f}): measuring dispatch, not compute")
+    implied = flops / dt if flops else None
+    mfu = implied / BF16_PEAK_FLOPS if implied else None
+    if mfu is not None:
+        assert mfu < 1.0, (
+            f"implied {implied / 1e12:.1f} TFLOP/s exceeds chip peak "
+            f"({BF16_PEAK_FLOPS / 1e12:.0f}): measurement is broken")
+    print(
+        f"[bench] jax: {dt * 1e3:.2f} ms/batch{BATCH} "
+        f"({dt_small * 1e3:.2f} ms/batch{SMALL_BATCH}, x{ratio:.1f}) on "
+        f"{dev.device_kind}; "
+        + (f"{flops / 1e9:.1f} GFLOP/batch -> {implied / 1e12:.1f} TFLOP/s, "
+           f"MFU {mfu * 100:.1f}% of bf16 peak" if flops else "no cost model"),
+        file=sys.stderr)
+    return {
+        "frames_per_sec": BATCH * FRAMES / dt,
+        "ms_per_batch": dt * 1e3,
+        "batch": BATCH,
+        "implied_tflops": round(implied / 1e12, 2) if implied else None,
+        "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
+    }
 
 
 def bench_torch_reference() -> float | None:
@@ -85,7 +168,6 @@ def bench_torch_reference() -> float | None:
     try:
         import types
 
-        import numpy as np
         import torch
 
         sys.path.insert(0, str(REFERENCE))
@@ -145,14 +227,124 @@ def get_baseline() -> float | None:
     return fps
 
 
+def bench_train_step(batch=128) -> dict:
+    """GAN train_step (G+D updates) steps/s at the flagship config."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from emotiongestures_tpu.train import gan
+    from emotiongestures_tpu.train.state import TrainState
+
+    cfg = gan.GANConfig(n_words=N_WORDS)
+    gs, ds = gan.create_states(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batch_d = {
+        "spectrogram": jnp.asarray(rng.randn(batch, 128, 124), jnp.float32),
+        "text": jnp.asarray(rng.randint(0, N_WORDS, (batch, FRAMES))),
+        "pose_seq": jnp.asarray(rng.randn(batch, FRAMES, 282), jnp.float32),
+        "eid_label": jax.nn.one_hot(jnp.arange(batch) % 8, 8),
+    }
+
+    # train_step donates its states; keep a jitted wrapper that threads them
+    def step_fn(gs: TrainState, ds: TrainState, key):
+        return gan.train_step(gs, ds, batch_d, key, cfg, use_disc=True)
+
+    # warmup/compile
+    gs, ds, m = step_fn(gs, ds, jax.random.PRNGKey(1))
+    flops = None  # composite; skip cost model
+
+    def step(i):
+        nonlocal gs, ds
+        gs, ds, m = step_fn(gs, ds, jax.random.PRNGKey(i))
+        return m["g_loss"] + m["d_loss"]
+
+    dt = timed_rounds(step, iters=10, rounds=3, warmup=2)
+    print(f"[bench] train_step: {dt * 1e3:.1f} ms/step at batch {batch} "
+          f"({batch / dt:.0f} samples/s)", file=sys.stderr)
+    return {"ms_per_step": dt * 1e3, "batch": batch,
+            "samples_per_sec": batch / dt, "flops": flops}
+
+
+def bench_eval_pipeline(batch=1024) -> dict:
+    """Device side of the eval CLI hot loop (test_...py:191-248): CVAE
+    sample + generator + FGD features (pred & target) + skeleton-classifier
+    logits + MPJRE/L2 reductions, one jitted step at batch 1024."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from emotiongestures_tpu.models import (
+        EmotionCVAEv3, FGDAutoEncoder, GestureTransformer,
+        SkeletonTransformer)
+
+    rng = np.random.RandomState(0)
+    gen = GestureTransformer(n_words=N_WORDS, frames=FRAMES)
+    vae = EmotionCVAEv3()
+    fgd = FGDAutoEncoder()
+    skl = SkeletonTransformer()
+    spec = jnp.asarray(rng.randn(batch, 128, 124), jnp.float32)
+    text = jnp.asarray(rng.randint(0, N_WORDS, (batch, FRAMES)))
+    target = jnp.asarray(rng.randn(batch, FRAMES, 282), jnp.float32)
+    y = jax.nn.one_hot(jnp.arange(batch) % 8, 8)
+    gvars = gen.init(jax.random.PRNGKey(0), spec, text, target[:, :10])
+    vvars = vae.init(
+        {"params": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(2)},
+        jnp.zeros((1, 60, 512), jnp.float32), jnp.zeros((1, 8), jnp.float32))
+    fvars = fgd.init(jax.random.PRNGKey(3), target[:1])
+    svars = skl.init(jax.random.PRNGKey(4), target[:1])
+
+    @jax.jit
+    def eval_batch(key):
+        sampled = vae.apply(vvars, y, method="sample", rngs={"sample": key})
+        pred, *_ = gen.apply(gvars, spec, text, target[:, :10], sampled,
+                             train=False)
+        _, feat_pred = fgd.apply(fvars, pred)
+        _, feat_tgt = fgd.apply(fvars, target)
+        logits, _ = skl.apply(svars, pred)
+        acc = jnp.mean(jnp.argmax(logits, -1) == jnp.argmax(y, -1))
+        l2 = jnp.mean(jnp.linalg.norm(target - pred, axis=-1))
+        mpjre = jnp.mean(jnp.abs(target - pred)) * 57.2958
+        return (jnp.sum(feat_pred) + jnp.sum(feat_tgt) + acc + l2 + mpjre)
+
+    flops = _cost_flops(eval_batch.lower(jax.random.PRNGKey(0)).compile())
+
+    def step(i):
+        return eval_batch(jax.random.PRNGKey(i))
+
+    dt = timed_rounds(step, iters=10, rounds=3, warmup=2)
+    implied = flops / dt if flops else None
+    print(f"[bench] eval pipeline: {dt * 1e3:.1f} ms/batch{batch} "
+          f"({batch * FRAMES / dt / 1e3:.0f}k frames/s)"
+          + (f", {implied / 1e12:.1f} TFLOP/s" if implied else ""),
+          file=sys.stderr)
+    return {"ms_per_batch": dt * 1e3, "batch": batch,
+            "frames_per_sec": batch * FRAMES / dt,
+            "implied_tflops": round(implied / 1e12, 2) if implied else None}
+
+
 def main():
-    value = bench_jax()
+    if "--train" in sys.argv:
+        print(json.dumps({"mode": "train_step", **bench_train_step()}))
+        return
+    if "--eval" in sys.argv:
+        print(json.dumps({"mode": "eval_pipeline", **bench_eval_pipeline()}))
+        return
+    r = bench_jax()
     baseline = get_baseline()
+    value = r["frames_per_sec"]
     result = {
         "metric": "generated_gesture_frames_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "frames/s",
         "vs_baseline": round(value / baseline, 2) if baseline else None,
+        "batch": r["batch"],
+        "ms_per_batch": round(r["ms_per_batch"], 2),
+        "implied_tflops": r["implied_tflops"],
+        "mfu_vs_bf16_peak": r["mfu_vs_bf16_peak"],
+        "baseline_batch": 16,
+        "baseline_note": "torch-CPU reference at batch 16 (python-loop "
+                         "memory module makes large CPU batches infeasible)",
     }
     print(json.dumps(result))
 
