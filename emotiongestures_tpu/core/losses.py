@@ -73,6 +73,46 @@ def softmax_contrastive_loss(
     return jnp.mean(cross_entropy(cross, labels))
 
 
+def emotion_infonce(
+    features: jnp.ndarray, labels: jnp.ndarray
+) -> jnp.ndarray:
+    """Paired-clip emotion InfoNCE (reconstruction; see train/gan.py).
+
+    Supervised contrastive loss over pooled emotion features using the
+    reference's similarity kernel (SoftmaxContrastiveLoss,
+    test_emotion_gesture_diversity_iterative.py:80-127: l2-normalise,
+    inverse pairwise l2 distance): clips SHARING an emotion label are
+    positives, all other clips in the batch are negatives. Clips with no
+    same-label partner in the batch contribute zero (standard SupCon
+    handling of empty positive sets).
+
+    `features` (B, D) pooled emotion features; `labels` (B,) int classes.
+    """
+    f = features / jnp.maximum(
+        jnp.linalg.norm(features, axis=1, keepdims=True), 1e-12
+    )
+    d2 = (
+        jnp.sum(f**2, axis=1)[:, None]
+        - 2.0 * f @ f.T
+        + jnp.sum(f**2, axis=1)[None, :]
+    )
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    sim = jnp.clip(1.0 / (dist + 1e-8), min=1e-8)
+    b = features.shape[0]
+    eye = jnp.eye(b, dtype=bool)
+    pos = (labels[:, None] == labels[None, :]) & ~eye
+    # log-softmax over all non-self clips; positive mass aggregated
+    logits = jnp.where(eye, -jnp.inf, sim)
+    logp = jax.nn.log_softmax(logits, axis=1)
+    pos_logp = jax.scipy.special.logsumexp(
+        jnp.where(pos, logp, -jnp.inf), axis=1
+    )
+    has_pos = pos.any(axis=1)
+    per_clip = jnp.where(has_pos, -pos_logp, 0.0)
+    denom = jnp.maximum(jnp.sum(has_pos), 1)
+    return jnp.sum(per_clip) / denom
+
+
 def kl_divergence(mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
     """KL(q(z|x) || N(0, I)) summed over latent dims, averaged over batch."""
     return jnp.mean(

@@ -15,9 +15,14 @@ All reference python loops are vectorised:
   * SP memory's per-(batch, frame) sigmoid gating
     (Models_memory.py:239-249) is one einsum + broadcast blend;
   * TM memory's cross-batch softmax rescale (Models_memory.py:282-293)
-    is two small GEMMs (it genuinely couples the batch — a reference
-    quirk we keep and document; under data-parallel sharding it acts
-    per-shard, exactly like unsynced BatchNorm).
+    is two small GEMMs. It genuinely couples the batch — a reference
+    quirk we keep and document. Under our data parallelism (GSPMD jit
+    over a mesh, parallel/mesh.py) the coupling is computed GLOBALLY:
+    XLA all-gathers the small (B, D) operands, so the sharded step
+    matches single-device execution to fp32 tolerance
+    (tests/test_parallel.py::test_dp_gan_train_step_matches_single_device).
+    A per-shard deviation would only arise under shard_map, which the
+    DP path does not use.
 
 Faithful quirks kept (SURVEY.md §7 hard part 7): unmasked attention,
 decoder without self-attention/pos-enc, post-LN, xavier-uniform re-init

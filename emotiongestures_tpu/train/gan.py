@@ -9,15 +9,32 @@ present:
   * pose_dis_warm_epoch warm-up flag (test_...py:360)
   * emotion head on the generator (emotion_classifer_header) -> CE
   * "disentangle_emotion_infonce" checkpoint name + SoftmaxContrastiveLoss
-    (test_...py:80-127) -> InfoNCE between pooled emotion features of
-    paired clips sharing an emotion label vs. the batch
+    (test_...py:80-127)
   * Adam(lr 2e-4, betas (0.5, 0.999)) (test_...py:357-359)
   * staged LR ladder (test_...py:64-78)
 
 Loss composition (weights configurable):
   G: w_rec * L1(pred, target) + w_adv * BCE(D(offsets(pred)), 1)
-     + w_emo * CE(emotion_logits, y) + w_con * contrastive(emo_feat, sem_feat)
+     + w_emo * CE(emotion_logits, y) + w_con * contrastive (below)
   D: BCE(D(offsets(real)), 1) + BCE(D(offsets(fake)), 0)
+
+Reconstruction decisions (the reference never shipped train.py, so these
+are documented choices, not parity claims):
+
+  * Contrastive term (`contrastive_mode`): default "paired_label" =
+    emotion InfoNCE over pooled emotion features where clips sharing an
+    emotion label are positives (losses.emotion_infonce) — the reading of
+    the "disentangle_emotion_infonce" checkpoint name that actually pulls
+    same-emotion clips together across speakers/semantics.
+    "emo_sem" instead applies the reference's two-set diagonal
+    SoftmaxContrastiveLoss between pooled emotion and semantic features of
+    the same clip (the literal loss module shipped in test_...py:80-127).
+  * The fake batch for the D update is generated with train=True (BN in
+    batch-stats mode, dropout active) — matching torch convention where G
+    stays in .train() during the D step; the BN mutations from that pass
+    are DISCARDED (the G update recomputes them from the same batch).
+  * The real and fake discriminator passes use INDEPENDENT dropout keys
+    (round-1 reused one key for both — fixed per VERDICT item 6).
 """
 from __future__ import annotations
 
@@ -54,6 +71,9 @@ class GANConfig:
     loss_emotion_weight: float = 1.0
     loss_contrastive_weight: float = 0.1
     variant: str = "memory"
+    # "paired_label" (emotion InfoNCE over same-label clips) or "emo_sem"
+    # (reference SoftmaxContrastiveLoss between emotion/semantic features)
+    contrastive_mode: str = "paired_label"
     # steps per epoch > 0 bakes the reference's staged LR ladder
     # (test_...py:64-78) into the optimizer schedule inside jit
     steps_per_epoch: int = 0
@@ -102,12 +122,15 @@ def train_step(gen_state: TrainState, disc_state: TrainState, batch,
     target = batch["pose_seq"]
     labels = jnp.argmax(batch["eid_label"], axis=1)
     prior = target[:, : cfg.prior_frames, :]
-    g_rng, d_rng = jax.random.split(rng)
+    g_rng, d_gen_rng, d_rng_real, d_rng_fake = jax.random.split(rng, 4)
 
     # --- discriminator update -------------------------------------------
-    fake, *_ = gen_state.apply_fn(
+    # fake batch generated in TRAIN mode (G stays in train mode during the
+    # D step, torch convention); its BN mutations are discarded — the G
+    # update below recomputes them from the same batch.
+    (fake, *_), _ = gen_state.apply_fn(
         model_variables(gen_state), spec, text, prior,
-        train=False,
+        train=True, rngs={"dropout": d_gen_rng}, mutable=["batch_stats"],
     )
     fake = jax.lax.stop_gradient(fake)
 
@@ -117,10 +140,10 @@ def train_step(gen_state: TrainState, disc_state: TrainState, batch,
             if disc_state.batch_stats else {})}
         real_logits = disc_state.apply_fn(
             dv, calc_motion(target), train=True,
-            rngs={"dropout": d_rng})
+            rngs={"dropout": d_rng_real})
         fake_logits = disc_state.apply_fn(
             dv, calc_motion(fake), train=True,
-            rngs={"dropout": d_rng})
+            rngs={"dropout": d_rng_fake})
         return losses.gan_d_loss(real_logits, fake_logits)
 
     if use_disc:
@@ -141,9 +164,12 @@ def train_step(gen_state: TrainState, disc_state: TrainState, batch,
         rec = losses.l1_loss(pred, target) * cfg.loss_regression_weight
         emo = losses.cross_entropy(emo_logits, labels).mean() * \
             cfg.loss_emotion_weight
-        con = losses.softmax_contrastive_loss(
-            emo_feat.mean(axis=1), sem_feat.mean(axis=1)
-        ) * cfg.loss_contrastive_weight
+        if cfg.contrastive_mode == "paired_label":
+            con = losses.emotion_infonce(emo_feat.mean(axis=1), labels)
+        else:  # "emo_sem": the reference's literal two-set diagonal loss
+            con = losses.softmax_contrastive_loss(
+                emo_feat.mean(axis=1), sem_feat.mean(axis=1))
+        con = con * cfg.loss_contrastive_weight
         if use_disc:
             fake_logits = new_disc.apply_fn(
                 model_variables(new_disc), calc_motion(pred), train=False)

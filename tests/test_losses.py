@@ -32,6 +32,37 @@ def test_focal_loss_matches_reference_formula(rng):
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
 
 
+def test_emotion_infonce_properties(rng):
+    """Paired-label emotion InfoNCE (train/gan.py contrastive_mode
+    'paired_label'): same-label clusters must score lower loss than
+    scrambled labels, and a batch with no same-label pairs contributes 0."""
+    # two tight clusters, labels matching cluster membership
+    base = rng.randn(2, 16).astype(np.float32)
+    feats = np.concatenate(
+        [base[i] + 0.01 * rng.randn(4, 16) for i in (0, 1)]
+    ).astype(np.float32)
+    labels = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    good = float(L.emotion_infonce(jnp.asarray(feats), jnp.asarray(labels)))
+    scrambled = np.array([0, 1, 0, 1, 0, 1, 0, 1])
+    bad = float(L.emotion_infonce(jnp.asarray(feats), jnp.asarray(scrambled)))
+    assert good < bad
+    assert np.isfinite(good) and np.isfinite(bad)
+    # no positives anywhere -> exactly zero, no NaN/inf
+    solo = np.arange(8)
+    zero = float(L.emotion_infonce(jnp.asarray(feats), jnp.asarray(solo)))
+    assert zero == 0.0
+
+
+def test_emotion_infonce_gradients_finite(rng):
+    import jax
+
+    feats = rng.randn(8, 16).astype(np.float32)
+    labels = np.array([0, 0, 1, 1, 2, 2, 3, 3])
+    g = jax.grad(lambda f: L.emotion_infonce(f, jnp.asarray(labels)))(
+        jnp.asarray(feats))
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_softmax_contrastive_matches_torch(rng):
     """test_emotion_gesture_diversity_iterative.py:111-127 oracle."""
     a = rng.randn(8, 32).astype(np.float32)
