@@ -90,15 +90,23 @@ def timed_rounds(step, iters=ITERS, rounds=ROUNDS, warmup=WARMUP):
     return _median(times)
 
 
-def _build_forward(batch):
+def _build_forward(batch, precision="bf16", fused=True):
+    """Flagship diverse-forward step. The default serving configuration is
+    bf16 params/activations + the fused Pallas attention sublayer — the
+    honest round-2 matrix (BASELINE.md) measured it 1.58x faster than
+    fp32/plain with max abs pose-output error 0.003 (signal mean |x| 0.095)
+    and 100% emotion-argmax agreement. fp32 remains the torch-parity path
+    (tests/test_torch_parity.py); select it with --fp32."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from emotiongestures_tpu.core import precision as prec
     from emotiongestures_tpu.models import EmotionCVAEv3, GestureTransformer
 
     rng = np.random.RandomState(0)
-    gen = GestureTransformer(n_words=N_WORDS, frames=FRAMES)
+    gen = GestureTransformer(n_words=N_WORDS, frames=FRAMES,
+                             fused_attention=fused)
     vae = EmotionCVAEv3()
     spec = jnp.asarray(rng.randn(batch, 128, 124), jnp.float32)
     text = jnp.asarray(rng.randint(0, N_WORDS, (batch, FRAMES)))
@@ -108,6 +116,10 @@ def _build_forward(batch):
     vvars = vae.init(
         {"params": jax.random.PRNGKey(1), "sample": jax.random.PRNGKey(2)},
         jnp.zeros((1, 60, 512), jnp.float32), jnp.zeros((1, 8), jnp.float32))
+    if precision == "bf16":
+        gvars = prec.bf16_variables(gvars)
+        vvars = prec.cast_tree(vvars, jnp.bfloat16)
+        spec, prior, y = prec.bf16_inputs(spec, prior, y)
 
     @jax.jit
     def diverse_forward(gv, vv, spec, text, prior, y, key):
@@ -126,14 +138,14 @@ def _build_forward(batch):
     return step, flops
 
 
-def bench_jax() -> dict:
+def bench_jax(precision="bf16", fused=True) -> dict:
     import jax
 
     dev = jax.devices()[0]
     # sanity probe at a small batch: latency must grow with batch size
-    small_step, _ = _build_forward(SMALL_BATCH)
+    small_step, _ = _build_forward(SMALL_BATCH, precision, fused)
     dt_small = timed_rounds(small_step)
-    step, flops = _build_forward(BATCH)
+    step, flops = _build_forward(BATCH, precision, fused)
     dt = timed_rounds(step)
 
     ratio = dt / dt_small
@@ -159,6 +171,8 @@ def bench_jax() -> dict:
         "batch": BATCH,
         "implied_tflops": round(implied / 1e12, 2) if implied else None,
         "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
+        "precision": precision,
+        "fused_attention": fused,
     }
 
 
@@ -295,22 +309,26 @@ def bench_eval_pipeline(batch=1024) -> dict:
     svars = skl.init(jax.random.PRNGKey(4), target[:1])
 
     @jax.jit
-    def eval_batch(key):
-        sampled = vae.apply(vvars, y, method="sample", rngs={"sample": key})
-        pred, *_ = gen.apply(gvars, spec, text, target[:, :10], sampled,
+    def eval_batch(gv, vv, fv, sv, spec, text, target, y, key):
+        # params must be ARGUMENTS: closing over them embeds ~200 MB of
+        # constants in the HLO, which the remote-compile tunnel rejects
+        sampled = vae.apply(vv, y, method="sample", rngs={"sample": key})
+        pred, *_ = gen.apply(gv, spec, text, target[:, :10], sampled,
                              train=False)
-        _, feat_pred = fgd.apply(fvars, pred)
-        _, feat_tgt = fgd.apply(fvars, target)
-        logits, _ = skl.apply(svars, pred)
+        _, feat_pred = fgd.apply(fv, pred)
+        _, feat_tgt = fgd.apply(fv, target)
+        logits, _ = skl.apply(sv, pred)
         acc = jnp.mean(jnp.argmax(logits, -1) == jnp.argmax(y, -1))
         l2 = jnp.mean(jnp.linalg.norm(target - pred, axis=-1))
         mpjre = jnp.mean(jnp.abs(target - pred)) * 57.2958
         return (jnp.sum(feat_pred) + jnp.sum(feat_tgt) + acc + l2 + mpjre)
 
-    flops = _cost_flops(eval_batch.lower(jax.random.PRNGKey(0)).compile())
+    args = (gvars, vvars, fvars, svars, spec, text, target, y)
+    flops = _cost_flops(
+        eval_batch.lower(*args, jax.random.PRNGKey(0)).compile())
 
     def step(i):
-        return eval_batch(jax.random.PRNGKey(i))
+        return eval_batch(*args, jax.random.PRNGKey(i))
 
     dt = timed_rounds(step, iters=10, rounds=3, warmup=2)
     implied = flops / dt if flops else None
@@ -330,7 +348,9 @@ def main():
     if "--eval" in sys.argv:
         print(json.dumps({"mode": "eval_pipeline", **bench_eval_pipeline()}))
         return
-    r = bench_jax()
+    precision = "fp32" if "--fp32" in sys.argv else "bf16"
+    fused = "--no-fused" not in sys.argv
+    r = bench_jax(precision, fused)
     baseline = get_baseline()
     value = r["frames_per_sec"]
     result = {
@@ -342,6 +362,8 @@ def main():
         "ms_per_batch": round(r["ms_per_batch"], 2),
         "implied_tflops": r["implied_tflops"],
         "mfu_vs_bf16_peak": r["mfu_vs_bf16_peak"],
+        "precision": r["precision"],
+        "fused_attention": r["fused_attention"],
         "baseline_batch": 16,
         "baseline_note": "torch-CPU reference at batch 16 (python-loop "
                          "memory module makes large CPU batches infeasible)",
