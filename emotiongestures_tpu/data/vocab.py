@@ -91,6 +91,52 @@ class Vocab:
         self.word_embedding_weights = weights
         return weights
 
+    def load_glove_vectors(self, pretrained_path, embedding_dim: int = 300,
+                           use_cache: bool = True):
+        """GloVe/word2vec TEXT-format loader (model/vocab.py:86-130):
+        rows initialised N(0, 1/sqrt(dim)) for special/OOV words, then
+        updated from `word v1 ... vd` lines for words in this vocab.
+        Results are pickle-cached at `<path>_cache.pkl` with a shape check
+        (the reference's behavior). Deviation: the random init is seeded
+        (RandomState(0)) for reproducibility; the reference seeds nothing.
+        """
+        import os
+
+        cache_path = os.path.splitext(str(pretrained_path))[0] + "_cache.pkl"
+        weights = None
+        if use_cache and os.path.exists(cache_path):
+            with open(cache_path, "rb") as f:
+                weights = pickle.load(f)
+            if getattr(weights, "shape", None) != (self.n_words,
+                                                   embedding_dim):
+                weights = None  # reference: "reinitializing..."
+        if weights is None:
+            init_sd = 1 / np.sqrt(embedding_dim)
+            weights = np.random.RandomState(0).normal(
+                0, scale=init_sd, size=(self.n_words, embedding_dim)
+            ).astype(np.float32)
+            n_embedded = 0
+            with open(pretrained_path, encoding="utf-8") as f:
+                for line_raw in f:
+                    line = line_raw.split()
+                    # the reference wraps extraction AND assignment in one
+                    # try/except ValueError (so dim-mismatch rows are
+                    # skipped too, model/vocab.py:110-124)
+                    try:
+                        word = line[0]
+                        vector = np.array(line[1:], dtype=np.float32)
+                        idx = self.word2index.get(word, None)
+                        if idx is not None:
+                            weights[idx] = vector
+                            n_embedded += 1
+                    except (ValueError, IndexError):
+                        continue
+            if use_cache:
+                with open(cache_path, "wb") as f:
+                    pickle.dump(weights, f)
+        self.word_embedding_weights = weights
+        return weights
+
     def save(self, path):
         with open(path, "wb") as f:
             pickle.dump(self, f)

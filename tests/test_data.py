@@ -103,3 +103,197 @@ def test_synthetic_batches_iterator():
     batches = list(ds.batches(batch_size=4, shuffle=True, seed=0))
     assert len(batches) == 2  # drop_last
     assert batches[0]["pose_seq"].shape == (4, 60, 282)
+
+
+# ---------------------------------------------------------------------------
+# LMDB converters (VERDICT round-1 item 7): neither `lmdb` nor a
+# pyarrow exposing `deserialize` exists in this image, so the converters
+# are exercised end-to-end against FAKE modules that emulate the exact
+# API surface they consume (env/txn/cursor + deserialize on the
+# reference's tuple layouts). The serialized bytes are a stand-in —
+# pyarrow-0.14's wire format cannot be produced without the dead
+# library — but every line of converter logic (key format, 5- vs
+# 6-tuple layouts, clip flattening, field mapping) runs for real.
+# ---------------------------------------------------------------------------
+
+
+def _install_fake_lmdb_pyarrow(monkeypatch, db: dict):
+    import pickle
+    import sys
+    import types
+
+    class _Txn:
+        def __init__(self, d):
+            self._d = d
+
+        def get(self, key):
+            return self._d[key]
+
+        def stat(self):
+            return {"entries": len(self._d)}
+
+        def cursor(self):
+            return iter(sorted(self._d.items()))
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    class _Env:
+        def begin(self):
+            return _Txn(db)
+
+        def close(self):
+            pass
+
+    fake_lmdb = types.ModuleType("lmdb")
+    fake_lmdb.open = lambda *a, **k: _Env()
+    fake_pa = types.ModuleType("pyarrow")
+    fake_pa.deserialize = pickle.loads
+    monkeypatch.setitem(sys.modules, "lmdb", fake_lmdb)
+    monkeypatch.setitem(sys.modules, "pyarrow", fake_pa)
+
+
+def test_convert_lmdb_cache_beat_layout(tmp_path, rng, monkeypatch):
+    """BEAT 5-tuple layout (lmdb_loader_BEAT_full.py:171-180)."""
+    import pickle
+
+    from emotiongestures_tpu.data.store import convert_lmdb_cache
+
+    samples = []
+    db = {}
+    for idx in range(3):
+        word_seq = [["hi", 0.0, 0.4], [f"w{idx}", 0.5, 1.0]]
+        pose = rng.randn(60, 282).astype(np.float32)
+        audio = rng.randn(64000).astype(np.float32)
+        spec = rng.randn(128, 124).astype(np.float16)
+        aux = {"eid": f"2_x_0_{60 + idx}_{60 + idx}", "vid": "2_x",
+               "start_time": 0.0, "end_time": 4.0}
+        samples.append((word_seq, pose, audio, spec, aux))
+        db[f"{idx:010}".encode("ascii")] = pickle.dumps(samples[-1])
+
+    _install_fake_lmdb_pyarrow(monkeypatch, db)
+    out = tmp_path / "store"
+    convert_lmdb_cache("/nonexistent", str(out))
+    store = GestureStore(out)
+    assert len(store) == 3
+    for idx in range(3):
+        rec = store[idx]
+        w, p, a, s, aux = samples[idx]
+        assert rec["word_seq"] == [list(x) for x in w]
+        np.testing.assert_array_equal(rec["pose_seq"], p)
+        np.testing.assert_array_equal(rec["audio"], a)
+        np.testing.assert_array_equal(rec["spectrogram"], s)
+        assert rec["aux_info"]["eid"] == aux["eid"]
+        assert "vec_seq" not in rec
+
+
+def test_convert_lmdb_cache_ted_layout(tmp_path, rng, monkeypatch):
+    """TED 6-tuple layout with dir-vec sequences (lmdb_data_loader*)."""
+    import pickle
+
+    from emotiongestures_tpu.data.store import convert_lmdb_cache
+
+    word_seq = [["a", 0.0, 0.2]]
+    pose = rng.randn(34, 129).astype(np.float32)
+    vec = rng.randn(34, 126).astype(np.float32)
+    audio = rng.randn(36267).astype(np.float32)
+    spec = rng.randn(128, 70).astype(np.float16)
+    aux = {"vid": "ted1", "start_time": 1.0, "end_time": 3.0}
+    db = {b"0000000000": pickle.dumps((word_seq, pose, vec, audio, spec,
+                                       aux))}
+    _install_fake_lmdb_pyarrow(monkeypatch, db)
+    out = tmp_path / "store"
+    convert_lmdb_cache("/nonexistent", str(out))
+    rec = GestureStore(out)[0]
+    np.testing.assert_array_equal(rec["vec_seq"], vec)
+    np.testing.assert_array_equal(rec["pose_seq"], pose)
+
+
+def test_convert_clip_lmdb_flattens_videos(tmp_path, rng, monkeypatch):
+    """Raw clip LMDB (one video with nested clips per record,
+    data_preprocessor.py:44-75) -> flat one-record-per-clip store."""
+    import pickle
+
+    from emotiongestures_tpu.data.store import convert_clip_lmdb
+
+    def clip(i):
+        return {
+            "skeletons_3d": rng.randn(90, 94, 3).astype(np.float32),
+            "audio_feat": rng.randn(128, 100).astype(np.float16),
+            "audio_raw": rng.randn(48000).astype(np.float32),
+            "words": [["word", 0.1, 0.6]],
+            "start_frame_no": 10 * i,
+            "end_frame_no": 10 * i + 90,
+            "start_time": float(i),
+            "end_time": float(i) + 6.0,
+        }
+
+    db = {
+        b"vid_a": pickle.dumps({"vid": "vid_a", "clips": [clip(0), clip(1)]}),
+        b"vid_b": pickle.dumps({"vid": "vid_b", "clips": [clip(2)]}),
+    }
+    _install_fake_lmdb_pyarrow(monkeypatch, db)
+    out = tmp_path / "clips"
+    convert_clip_lmdb("/nonexistent", str(out))
+    store = GestureStore(out)
+    assert len(store) == 3
+    rec = store[0]
+    assert rec["aux_info"]["vid"] == "vid_a"
+    assert rec["skeletons_3d"].shape == (90, 94, 3)
+    assert rec["aux_info"]["end_frame_no"] == 90
+    assert GestureStore(out)[2]["aux_info"]["vid"] == "vid_b"
+
+
+def test_glove_text_loader(tmp_path):
+    """model/vocab.py:86-130 semantics: text-format vectors, OOV rows stay
+    at the N(0, 1/sqrt(dim)) init, malformed lines skipped, pickle cache
+    honoured and shape-checked."""
+    v = Vocab("test")
+    for w in ["hello", "world", "gesture"]:
+        v.index_word(w)
+    dim = 4
+    glove = tmp_path / "glove.txt"
+    glove.write_text(
+        "hello 1.0 2.0 3.0 4.0\n"
+        "unseen 9.0 9.0 9.0 9.0\n"
+        "gesture -1.0 -2.0 -3.0 -4.0\n"
+        "corrupt a b c d\n"
+        "shortrow 1.0 2.0\n"
+    )
+    w = v.load_glove_vectors(glove, embedding_dim=dim)
+    assert w.shape == (v.n_words, dim)
+    np.testing.assert_array_equal(w[v.word2index["hello"]], [1, 2, 3, 4])
+    np.testing.assert_array_equal(
+        w[v.word2index["gesture"]], [-1, -2, -3, -4])
+    # OOV word keeps its random init (std ~ 1/sqrt(dim))
+    row = w[v.word2index["world"]]
+    assert not np.allclose(row, 0) and np.abs(row).max() < 5 / np.sqrt(dim)
+    # cache round-trip
+    assert (tmp_path / "glove_cache.pkl").exists()
+    w2 = v.load_glove_vectors(glove, embedding_dim=dim)
+    np.testing.assert_array_equal(w, w2)
+    # stale-shape cache is rejected and rebuilt
+    v2 = Vocab("bigger")
+    for word in ["hello", "world", "gesture", "extra"]:
+        v2.index_word(word)
+    w3 = v2.load_glove_vectors(glove, embedding_dim=dim)
+    assert w3.shape == (v2.n_words, dim)
+
+
+def test_expressive_constants_vendored():
+    """lmdb_data_loader_expressive.py:239-260 numeric tables."""
+    from emotiongestures_tpu.data.expressive_constants import (
+        EXPRESSIVE_MEAN_DIR_VEC, EXPRESSIVE_MEAN_POSE)
+
+    assert EXPRESSIVE_MEAN_DIR_VEC.shape == (126,)  # 42 dir vecs x 3
+    assert EXPRESSIVE_MEAN_POSE.shape == (129,)  # 43 joints x 3
+    # spot values straight from the reference listing
+    np.testing.assert_allclose(EXPRESSIVE_MEAN_DIR_VEC[0], -0.0737964)
+    np.testing.assert_allclose(EXPRESSIVE_MEAN_DIR_VEC[-1], 0.815372)
+    np.testing.assert_allclose(EXPRESSIVE_MEAN_POSE[0], -0.0046788)
+    np.testing.assert_allclose(EXPRESSIVE_MEAN_POSE[-1], -0.0567985)
+    assert np.isfinite(EXPRESSIVE_MEAN_DIR_VEC).all()
+    assert np.isfinite(EXPRESSIVE_MEAN_POSE).all()
