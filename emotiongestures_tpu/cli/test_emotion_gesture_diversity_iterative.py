@@ -78,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--skip_beat", action="store_true",
                         help="skip host-side beat alignment (fast smoke)")
+    parser.add_argument("--device_beat", action="store_true",
+                        help="compute the beat-alignment onset envelopes "
+                             "and frame RMS in one jitted TPU pass per "
+                             "batch instead of per-clip host numpy "
+                             "(eval.beat.batched_onset_frontend)")
     parser.add_argument("--num_diversity_passes", type=int, default=1,
                         help="extra CVAE-noise passes pooled into the "
                              "diversity estimate (the reference's "
@@ -85,15 +90,25 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def _maybe_load(state, path, name):
+def _maybe_load(state, path, name, subdir: str | None = None):
+    """Restore `state` from `path`, also trying `path/subdir` (the GAN
+    trainer saves generator/discriminator under per-model subdirs of
+    --model_save_path, so --checkpoints_folder_path may point at either
+    level)."""
+    from pathlib import Path
+
     from ..utils import load_checkpoint
 
     if path:
-        state, ok = load_checkpoint(state, path)
-        if ok:
-            logging.info("loaded %s checkpoint from %s (step %d)",
-                         name, path, int(state.step))
-            return state
+        candidates = [Path(path)]
+        if subdir:
+            candidates.append(Path(path) / subdir)
+        for cand in candidates:
+            state, ok = load_checkpoint(state, cand)
+            if ok:
+                logging.info("loaded %s checkpoint from %s (step %d)",
+                             name, cand, int(state.step))
+                return state
     logging.warning("no %s checkpoint — using randomly initialised weights",
                     name)
     return state
@@ -139,7 +154,8 @@ def test_model(args, batches, n_words: int):
 
     tx = schedules.adam(lr=args.lr, b1=args.beta1, b2=args.beta2)
     gen_state = _maybe_load(create_train_state(generator, gvars, tx),
-                            args.checkpoints_folder_path, "generator")
+                            args.checkpoints_folder_path, "generator",
+                            subdir="generator")
     fgd_state = _maybe_load(create_train_state(fgd_net, fvars, tx),
                             args.fgd_checkpoint, "FGD")
     skel_state = _maybe_load(create_train_state(skeleton, svars, tx),
@@ -210,7 +226,8 @@ def test_model(args, batches, n_words: int):
         if not args.skip_beat:
             bl_score += aligner.score_batch(
                 batch["audio"], pred_np, t_start, t_end,
-                args.motion_resampling_framerate) * len(pred_np)
+                args.motion_resampling_framerate,
+                device_frontend=args.device_beat) * len(pred_np)
             n_beat_samples += len(pred_np)
 
     pred_arr = np.concatenate(pred_feats)

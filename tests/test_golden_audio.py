@@ -179,3 +179,43 @@ def test_stft_rms_matches_torch_oracle():
     ref = np.sqrt(2.0 * power.sum(axis=0) / 2048**2)
     got = B.stft_rms(y)
     np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-14)
+
+
+def _speechlike(rng_seed=7, n=64000):
+    """Broadband noise with syllable-rate (4 Hz) amplitude bursts — the
+    spectral character of the BEAT domain (speech)."""
+    r = np.random.RandomState(rng_seed)
+    t = np.arange(n) / 16000
+    envelope = np.clip(np.sin(2 * np.pi * 4.0 * t), 0, None) ** 2
+    return (r.randn(n) * (0.05 + envelope)).astype(np.float64)
+
+
+def test_device_onset_frontend_matches_host_broadband():
+    """batched_onset_frontend (one jitted TPU/XLA pass for all clips) must
+    reproduce the host numpy onset_strength/stft_rms for BROADBAND
+    signals (the speech domain) with IDENTICAL detected onsets. Pure
+    tones are excluded by design: their true mel power sits below the
+    fp32 noise floor (see the function's precision note — real librosa is
+    fp32 there too)."""
+    waves = np.stack([WAVES["clicks"], WAVES["noise"],
+                      _speechlike()]).astype(np.float32)
+    envs, rmss = B.batched_onset_frontend(waves)
+    for i, name in enumerate(("clicks", "noise", "speechlike")):
+        env_host = B.onset_strength(waves[i].astype(np.float64))
+        rms_host = B.stft_rms(waves[i].astype(np.float64))
+        assert envs[i].shape == env_host.shape
+        peak = env_host.max()
+        assert np.abs(envs[i] - env_host).max() < 0.03 * peak, name
+        np.testing.assert_allclose(rmss[i], rms_host, rtol=5e-3, atol=1e-5)
+        np.testing.assert_array_equal(
+            B.onset_detect(envs[i]), B.onset_detect(env_host),
+            err_msg=name)
+
+
+def test_score_batch_device_frontend_matches_host(rng):
+    poses = rng.randn(3, 60, 282).astype(np.float64).cumsum(axis=1) * 0.01
+    waves = np.stack([WAVES["clicks"], WAVES["noise"], _speechlike(11)])
+    al = B.BeatAligner()
+    host = al.score_batch(waves, poses)
+    dev = al.score_batch(waves, poses, device_frontend=True)
+    np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-6)
