@@ -241,8 +241,10 @@ def get_baseline() -> float | None:
     return fps
 
 
-def bench_train_step(batch=128) -> dict:
-    """GAN train_step (G+D updates) steps/s at the flagship config."""
+def bench_train_step(batch=128, compute_dtype="float32") -> dict:
+    """GAN train_step (G+D updates) steps/s at the flagship config.
+    `compute_dtype="bfloat16"` benches the mixed-precision policy
+    (fp32 master params/optimizer, bf16 forward/backward)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -250,7 +252,7 @@ def bench_train_step(batch=128) -> dict:
     from emotiongestures_tpu.train import gan
     from emotiongestures_tpu.train.state import TrainState
 
-    cfg = gan.GANConfig(n_words=N_WORDS)
+    cfg = gan.GANConfig(n_words=N_WORDS, compute_dtype=compute_dtype)
     gs, ds = gan.create_states(cfg, jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     batch_d = {
@@ -274,10 +276,11 @@ def bench_train_step(batch=128) -> dict:
         return m["g_loss"] + m["d_loss"]
 
     dt = timed_rounds(step, iters=10, rounds=3, warmup=2)
-    print(f"[bench] train_step: {dt * 1e3:.1f} ms/step at batch {batch} "
-          f"({batch / dt:.0f} samples/s)", file=sys.stderr)
+    print(f"[bench] train_step[{compute_dtype}]: {dt * 1e3:.1f} ms/step "
+          f"at batch {batch} ({batch / dt:.0f} samples/s)", file=sys.stderr)
     return {"ms_per_step": dt * 1e3, "batch": batch,
-            "samples_per_sec": batch / dt, "flops": flops}
+            "samples_per_sec": batch / dt, "flops": flops,
+            "compute_dtype": compute_dtype}
 
 
 def bench_eval_pipeline(batch=1024) -> dict:
@@ -343,7 +346,9 @@ def bench_eval_pipeline(batch=1024) -> dict:
 
 def main():
     if "--train" in sys.argv:
-        print(json.dumps({"mode": "train_step", **bench_train_step()}))
+        cdtype = "bfloat16" if "--bf16" in sys.argv else "float32"
+        print(json.dumps({"mode": "train_step",
+                          **bench_train_step(compute_dtype=cdtype)}))
         return
     if "--eval" in sys.argv:
         print(json.dumps({"mode": "eval_pipeline", **bench_eval_pipeline()}))

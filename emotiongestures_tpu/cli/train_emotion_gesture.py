@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--loss_emotion_weight", type=float, default=1.0)
     parser.add_argument("--loss_contrastive_weight", type=float, default=0.1)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="bfloat16 = MXU mixed precision (fp32 master "
+                             "params/optimizer, bf16 forward/backward)")
     return parser
 
 
@@ -87,7 +91,7 @@ def main(args=None):
         loss_gan_weight=args.loss_gan_weight,
         loss_emotion_weight=args.loss_emotion_weight,
         loss_contrastive_weight=args.loss_contrastive_weight,
-        variant=args.variant)
+        variant=args.variant, compute_dtype=args.compute_dtype)
     gen_state, disc_state = gan.create_states(cfg, jax.random.PRNGKey(
         args.seed))
     if args.resume:

@@ -35,6 +35,14 @@ are documented choices, not parity claims):
     are DISCARDED (the G update recomputes them from the same batch).
   * The real and fake discriminator passes use INDEPENDENT dropout keys
     (round-1 reused one key for both — fixed per VERDICT item 6).
+
+Mixed precision (`compute_dtype="bfloat16"`): params and optimizer state
+stay fp32 (the torch-parity master copy); the forward/backward of both
+networks runs with bf16 params/activations on the MXU. Loss arithmetic is
+fp32 (model outputs are upcast before any loss), BatchNorm statistics are
+computed in fp32 by flax regardless of input dtype, and gradients arrive
+fp32 through the transpose of the param cast. bf16 needs no loss scaling
+(same exponent range as fp32). fp32 remains the default/parity dtype.
 """
 from __future__ import annotations
 
@@ -45,6 +53,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import losses, schedules
+from ..core.precision import cast_tree
 from ..models import GestureTransformer, MotionDiscriminator
 from ..models.discriminator import calc_motion
 from .state import TrainState, create_train_state, model_variables
@@ -77,6 +86,10 @@ class GANConfig:
     # steps per epoch > 0 bakes the reference's staged LR ladder
     # (test_...py:64-78) into the optimizer schedule inside jit
     steps_per_epoch: int = 0
+    # "float32" (parity default) or "bfloat16" (MXU mixed precision:
+    # fp32 master params/optimizer, bf16 forward/backward — see module
+    # docstring)
+    compute_dtype: str = "float32"
 
 
 def build_models(cfg: GANConfig):
@@ -124,27 +137,37 @@ def train_step(gen_state: TrainState, disc_state: TrainState, batch,
     prior = target[:, : cfg.prior_frames, :]
     g_rng, d_gen_rng, d_rng_real, d_rng_fake = jax.random.split(rng, 4)
 
+    # mixed precision: `cast_c` lowers params/float inputs to the compute
+    # dtype at the jit boundary of each apply; identity in fp32 mode. Loss
+    # arithmetic below is always fp32 (`f32` upcasts model outputs).
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    cast_c = (lambda t: cast_tree(t, cdtype)) if cdtype != jnp.float32 \
+        else (lambda t: t)
+    f32 = lambda x: x.astype(jnp.float32)
+
     # --- discriminator update -------------------------------------------
     # fake batch generated in TRAIN mode (G stays in train mode during the
     # D step, torch convention); its BN mutations are discarded — the G
     # update below recomputes them from the same batch.
     (fake, *_), _ = gen_state.apply_fn(
-        model_variables(gen_state), spec, text, prior,
+        {"params": cast_c(gen_state.params),
+         "batch_stats": gen_state.batch_stats},
+        cast_c(spec), text, cast_c(prior),
         train=True, rngs={"dropout": d_gen_rng}, mutable=["batch_stats"],
     )
     fake = jax.lax.stop_gradient(fake)
 
     def d_loss_fn(dparams):
-        dv = {"params": dparams, **(
+        dv = {"params": cast_c(dparams), **(
             {"batch_stats": disc_state.batch_stats}
             if disc_state.batch_stats else {})}
         real_logits = disc_state.apply_fn(
-            dv, calc_motion(target), train=True,
+            dv, calc_motion(cast_c(target)), train=True,
             rngs={"dropout": d_rng_real})
         fake_logits = disc_state.apply_fn(
             dv, calc_motion(fake), train=True,
             rngs={"dropout": d_rng_fake})
-        return losses.gan_d_loss(real_logits, fake_logits)
+        return losses.gan_d_loss(f32(real_logits), f32(fake_logits))
 
     if use_disc:
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(disc_state.params)
@@ -155,25 +178,28 @@ def train_step(gen_state: TrainState, disc_state: TrainState, batch,
 
     # --- generator update -------------------------------------------------
     def g_loss_fn(gparams):
-        gv = {"params": gparams, "batch_stats": gen_state.batch_stats}
+        gv = {"params": cast_c(gparams), "batch_stats": gen_state.batch_stats}
         (pred, emo_feat, sem_feat, emo_logits, _), mutated = \
             gen_state.apply_fn(
-                gv, spec, text, prior, train=True,
+                gv, cast_c(spec), text, cast_c(prior), train=True,
                 rngs={"dropout": g_rng}, mutable=["batch_stats"],
             )
-        rec = losses.l1_loss(pred, target) * cfg.loss_regression_weight
-        emo = losses.cross_entropy(emo_logits, labels).mean() * \
+        rec = losses.l1_loss(f32(pred), target) * cfg.loss_regression_weight
+        emo = losses.cross_entropy(f32(emo_logits), labels).mean() * \
             cfg.loss_emotion_weight
         if cfg.contrastive_mode == "paired_label":
-            con = losses.emotion_infonce(emo_feat.mean(axis=1), labels)
+            con = losses.emotion_infonce(f32(emo_feat).mean(axis=1), labels)
         else:  # "emo_sem": the reference's literal two-set diagonal loss
             con = losses.softmax_contrastive_loss(
-                emo_feat.mean(axis=1), sem_feat.mean(axis=1))
+                f32(emo_feat).mean(axis=1), f32(sem_feat).mean(axis=1))
         con = con * cfg.loss_contrastive_weight
         if use_disc:
             fake_logits = new_disc.apply_fn(
-                model_variables(new_disc), calc_motion(pred), train=False)
-            adv = losses.gan_g_loss(fake_logits) * cfg.loss_gan_weight
+                {"params": cast_c(new_disc.params), **(
+                    {"batch_stats": new_disc.batch_stats}
+                    if new_disc.batch_stats else {})},
+                calc_motion(pred), train=False)
+            adv = losses.gan_g_loss(f32(fake_logits)) * cfg.loss_gan_weight
         else:
             adv = jnp.zeros(())
         total = rec + emo + con + adv

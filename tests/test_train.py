@@ -69,6 +69,33 @@ def test_gan_train_steps_run(batch):
     assert np.isfinite(float(out["l2"]))
 
 
+def test_gan_bf16_compute_step(batch):
+    """Mixed-precision step (compute_dtype=bfloat16): params/opt stay fp32
+    masters, losses stay finite and land near the fp32 step-0 losses."""
+    small = {k: v[:4] for k, v in batch.items()}
+    cfg32 = gan.GANConfig(n_words=64, d_model=128, d_inner=256, n_layers=1)
+    cfg16 = gan.GANConfig(n_words=64, d_model=128, d_inner=256, n_layers=1,
+                          compute_dtype="bfloat16")
+    g32, d32 = gan.create_states(cfg32, jax.random.PRNGKey(0))
+    g16, d16 = gan.create_states(cfg16, jax.random.PRNGKey(0))
+    _, _, m32 = gan.train_step(g32, d32, small, jax.random.PRNGKey(1), cfg32)
+    g16, d16, m16 = gan.train_step(g16, d16, small, jax.random.PRNGKey(1),
+                                   cfg16)
+    for k in ("g_loss", "d_loss", "g_rec"):
+        a, b = float(m32[k]), float(m16[k])
+        assert np.isfinite(b), (k, b)
+        assert abs(a - b) <= 0.05 * max(abs(a), 1.0), (k, a, b)
+    # master copies stay fp32 through the update
+    for leaf in jax.tree_util.tree_leaves(g16.params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(g16.batch_stats):
+        assert leaf.dtype == jnp.float32
+    # and a second step still learns
+    _, _, m16b = gan.train_step(g16, d16, small, jax.random.PRNGKey(2),
+                                cfg16)
+    assert float(m16b["g_rec"]) < float(m16["g_rec"])
+
+
 def test_gan_warmup_skips_discriminator(batch):
     cfg = gan.GANConfig(n_words=64, d_model=128, d_inner=256, n_layers=1)
     gen_state, disc_state = gan.create_states(cfg, jax.random.PRNGKey(0))
