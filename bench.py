@@ -283,13 +283,17 @@ def bench_train_step(batch=128, compute_dtype="float32") -> dict:
             "compute_dtype": compute_dtype}
 
 
-def bench_eval_pipeline(batch=1024) -> dict:
+def bench_eval_pipeline(batch=1024, precision="float32") -> dict:
     """Device side of the eval CLI hot loop (test_...py:191-248): CVAE
     sample + generator + FGD features (pred & target) + skeleton-classifier
-    logits + MPJRE/L2 reductions, one jitted step at batch 1024."""
+    logits + MPJRE/L2 reductions, one jitted step at batch 1024.
+    `precision="bfloat16"` = the eval CLI's --precision bfloat16 mode:
+    generator+CVAE in bf16, metric nets fp32."""
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    from emotiongestures_tpu.core.precision import cast_tree
 
     from emotiongestures_tpu.models import (
         EmotionCVAEv3, FGDAutoEncoder, GestureTransformer,
@@ -311,13 +315,25 @@ def bench_eval_pipeline(batch=1024) -> dict:
     fvars = fgd.init(jax.random.PRNGKey(3), target[:1])
     svars = skl.init(jax.random.PRNGKey(4), target[:1])
 
+    use_bf16 = precision == "bfloat16"
+
     @jax.jit
     def eval_batch(gv, vv, fv, sv, spec, text, target, y, key):
         # params must be ARGUMENTS: closing over them embeds ~200 MB of
         # constants in the HLO, which the remote-compile tunnel rejects
-        sampled = vae.apply(vv, y, method="sample", rngs={"sample": key})
-        pred, *_ = gen.apply(gv, spec, text, target[:, :10], sampled,
+        prior = target[:, :10]
+        if use_bf16:
+            gv = {**gv, "params": cast_tree(gv["params"], jnp.bfloat16)}
+            vv = cast_tree(vv, jnp.bfloat16)
+            spec_c, prior, y_c = (spec.astype(jnp.bfloat16),
+                                  prior.astype(jnp.bfloat16),
+                                  y.astype(jnp.bfloat16))
+        else:
+            spec_c, y_c = spec, y
+        sampled = vae.apply(vv, y_c, method="sample", rngs={"sample": key})
+        pred, *_ = gen.apply(gv, spec_c, text, prior, sampled,
                              train=False)
+        pred = pred.astype(jnp.float32)
         _, feat_pred = fgd.apply(fv, pred)
         _, feat_tgt = fgd.apply(fv, target)
         logits, _ = skl.apply(sv, pred)
@@ -335,13 +351,14 @@ def bench_eval_pipeline(batch=1024) -> dict:
 
     dt = timed_rounds(step, iters=10, rounds=3, warmup=2)
     implied = flops / dt if flops else None
-    print(f"[bench] eval pipeline: {dt * 1e3:.1f} ms/batch{batch} "
-          f"({batch * FRAMES / dt / 1e3:.0f}k frames/s)"
+    print(f"[bench] eval pipeline[{precision}]: {dt * 1e3:.1f} "
+          f"ms/batch{batch} ({batch * FRAMES / dt / 1e3:.0f}k frames/s)"
           + (f", {implied / 1e12:.1f} TFLOP/s" if implied else ""),
           file=sys.stderr)
     return {"ms_per_batch": dt * 1e3, "batch": batch,
             "frames_per_sec": batch * FRAMES / dt,
-            "implied_tflops": round(implied / 1e12, 2) if implied else None}
+            "implied_tflops": round(implied / 1e12, 2) if implied else None,
+            "precision": precision}
 
 
 def main():
@@ -351,7 +368,9 @@ def main():
                           **bench_train_step(compute_dtype=cdtype)}))
         return
     if "--eval" in sys.argv:
-        print(json.dumps({"mode": "eval_pipeline", **bench_eval_pipeline()}))
+        prec = "bfloat16" if "--bf16" in sys.argv else "float32"
+        print(json.dumps({"mode": "eval_pipeline",
+                          **bench_eval_pipeline(precision=prec)}))
         return
     precision = "fp32" if "--fp32" in sys.argv else "bf16"
     fused = "--no-fused" not in sys.argv

@@ -78,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--skip_beat", action="store_true",
                         help="skip host-side beat alignment (fast smoke)")
+    parser.add_argument("--precision", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="bfloat16 runs the generator+CVAE in bf16 "
+                             "(serving default per BASELINE.md); metric "
+                             "nets stay fp32")
     parser.add_argument("--device_beat", action="store_true",
                         help="compute the beat-alignment onset envelopes "
                              "and frame RMS in one jitted TPU pass per "
@@ -163,14 +168,30 @@ def test_model(args, batches, n_words: int):
     vae_state = _maybe_load(create_train_state(vae, vvars, tx),
                             args.cvae_checkpoint, "emotion CVAE")
 
+    use_bf16 = getattr(args, "precision", "float32") == "bfloat16"
+
     @jax.jit
     def eval_batch(gv, fv, sv, vv, spec, text, pose_seq, eid_label, key):
-        """The whole per-batch device path: sample -> generate -> features."""
+        """The whole per-batch device path: sample -> generate -> features.
+
+        With --precision bfloat16 (the measured serving default,
+        BASELINE.md round-2 matrix) the generator+CVAE run in bf16 on the
+        MXU; the metric nets (FGD AE, skeleton classifier) always stay
+        fp32 so metric parity with the reference is preserved."""
         pre_pose = pose_seq[:, : args.n_pre_poses, :]
+        if use_bf16:
+            from ..core.precision import cast_tree
+
+            gv = {**gv, "params": cast_tree(gv["params"], jnp.bfloat16)}
+            vv = cast_tree(vv, jnp.bfloat16)
+            spec = spec.astype(jnp.bfloat16)
+            pre_pose = pre_pose.astype(jnp.bfloat16)
+            eid_label = eid_label.astype(jnp.bfloat16)
         sampled = vae.apply(vv, eid_label, method="sample",
                             rngs={"sample": key})
         pred_pose, _, _, _, _ = generator.apply(
             gv, spec, text, pre_pose, sampled, train=False)
+        pred_pose = pred_pose.astype(jnp.float32)
         fake_logits, _ = skeleton.apply(sv, pred_pose, train=False)
         _, pred_feat = fgd_net.apply(fv, pred_pose, train=False)
         _, target_feat = fgd_net.apply(fv, pose_seq, train=False)

@@ -72,3 +72,29 @@ def test_full_pipeline_train_then_eval(tmp_path):
     for key in ("l2", "mpjre_deg", "fgd", "emotion_acc", "diversity"):
         assert np.isfinite(metrics[key]), (key, metrics)
     assert metrics["diversity"] > 0
+
+
+@pytest.mark.slow
+def test_eval_cli_bf16_precision(tmp_path):
+    """--precision bfloat16 (serving mode: generator+CVAE bf16, metric
+    nets fp32) runs the full eval pipeline and lands near the fp32
+    metrics for the same seed/weights."""
+    from emotiongestures_tpu.cli import (
+        test_emotion_gesture_diversity_iterative as eval_cli,
+    )
+
+    base = ["--synthetic", "16", "--test_batch_size", "8",
+            "--latent_dim", "128", "--d_model", "64", "--gen_layers", "1",
+            "--skip_beat"]
+    m32 = eval_cli.main(eval_cli.build_parser().parse_args(
+        base + ["--log_save_path", str(tmp_path / "l32")]))
+    m16 = eval_cli.main(eval_cli.build_parser().parse_args(
+        base + ["--log_save_path", str(tmp_path / "l16"),
+                "--precision", "bfloat16"]))
+    for key in ("l2", "mpjre_deg", "fgd", "emotion_acc", "diversity"):
+        assert np.isfinite(m16[key]), (key, m16)
+    # same weights/noise, only compute dtype differs: L2/MPJRE must agree
+    # within bf16 rounding of the generated poses
+    assert abs(m16["l2"] - m32["l2"]) <= 0.05 * abs(m32["l2"]), (m32, m16)
+    assert abs(m16["mpjre_deg"] - m32["mpjre_deg"]) <= \
+        0.05 * abs(m32["mpjre_deg"]), (m32, m16)
