@@ -297,3 +297,45 @@ def test_expressive_constants_vendored():
     np.testing.assert_allclose(EXPRESSIVE_MEAN_POSE[-1], -0.0567985)
     assert np.isfinite(EXPRESSIVE_MEAN_DIR_VEC).all()
     assert np.isfinite(EXPRESSIVE_MEAN_POSE).all()
+
+
+def test_convert_data_cli(tmp_path, rng, monkeypatch):
+    """cli/convert_data.py drives both converters and the word-vector
+    export through one migration entry point."""
+    import pickle
+
+    from emotiongestures_tpu.cli import convert_data
+
+    # cache subcommand over a BEAT-layout fake LMDB
+    db = {}
+    for idx in range(2):
+        sample = ([["hi", 0.0, 0.4]],
+                  rng.randn(60, 282).astype(np.float32),
+                  rng.randn(64000).astype(np.float32),
+                  rng.randn(128, 124).astype(np.float16),
+                  {"eid": "2_x_0_60_60", "vid": "2_x",
+                   "start_time": 0.0, "end_time": 4.0})
+        db[f"{idx:010}".encode("ascii")] = pickle.dumps(sample)
+    _install_fake_lmdb_pyarrow(monkeypatch, db)
+    out = tmp_path / "store"
+    args = convert_data.build_parser().parse_args(
+        ["cache", "--lmdb", "/nonexistent", "--out", str(out)])
+    assert convert_data.main(args) == 2
+    assert len(GestureStore(out)) == 2
+
+    # wordvec subcommand: vocab pickle + glove text -> aligned .npy
+    v = Vocab("cli")
+    for w in ["hello", "world"]:
+        v.index_word(w)
+    vocab_path = tmp_path / "vocab.pkl"
+    v.save(vocab_path)
+    glove = tmp_path / "vecs.txt"
+    glove.write_text("hello 1.0 2.0 3.0\nworld -1.0 -2.0 -3.0\n")
+    npy = tmp_path / "wv.npy"
+    args = convert_data.build_parser().parse_args(
+        ["wordvec", "--vocab", str(vocab_path), "--vectors", str(glove),
+         "--out", str(npy), "--dim", "3"])
+    assert convert_data.main(args) == v.n_words
+    mat = np.load(npy)
+    assert mat.shape == (v.n_words, 3)
+    np.testing.assert_array_equal(mat[v.word2index["hello"]], [1, 2, 3])
