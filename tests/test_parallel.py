@@ -142,6 +142,43 @@ def test_dp_gan_train_step_matches_single_device(rng):
         assert n_out <= max(1, n_tot // 1000), (tag, n_out, n_tot)
 
 
+def test_dp_gan_train_step_bf16_compute(rng):
+    """Mixed precision under GSPMD: the bf16-compute train_step sharded
+    over the data mesh matches its own single-device execution (step-0
+    losses within bf16 reassociation tolerance) and keeps fp32 masters."""
+    from emotiongestures_tpu.train import gan
+
+    cfg = gan.GANConfig(n_words=16, d_model=64, d_inner=128, n_layers=1,
+                        n_head=4, d_k=16, d_v=16,
+                        compute_dtype="bfloat16")
+    ds = SyntheticGestureDataset(n_samples=16, seed=3)
+    raw = make_batch([ds[i] for i in range(16)])
+    batch = {k: jnp.asarray(v) for k, v in raw.items()
+             if k in ("spectrogram", "text", "pose_seq", "eid_label")}
+
+    gs1, ds1 = gan.create_states(cfg, jax.random.PRNGKey(0))
+    _, _, m1 = gan.train_step(gs1, ds1, batch, jax.random.PRNGKey(1), cfg)
+
+    mesh = make_mesh()
+    gs2, ds2 = gan.create_states(cfg, jax.random.PRNGKey(0))
+    gs2 = gs2.replace(params=replicate(gs2.params, mesh),
+                      batch_stats=replicate(gs2.batch_stats, mesh),
+                      opt_state=replicate(gs2.opt_state, mesh))
+    ds2 = ds2.replace(params=replicate(ds2.params, mesh),
+                      batch_stats=replicate(ds2.batch_stats, mesh),
+                      opt_state=replicate(ds2.opt_state, mesh))
+    gs2, ds2, m2 = gan.train_step(gs2, ds2, shard_batch(batch, mesh),
+                                  jax.random.PRNGKey(1), cfg)
+    for k in ("g_loss", "d_loss", "g_rec"):
+        a, b = float(m1[k]), float(m2[k])
+        assert np.isfinite(b), (k, b)
+        # bf16 accumulation order differs across shards; semantic
+        # deviations (per-shard BN/TMMemory) would move losses by percents
+        assert abs(a - b) <= 0.02 * max(abs(a), 1.0), (k, a, b)
+    for leaf in jax.tree_util.tree_leaves(gs2.params):
+        assert leaf.dtype == jnp.float32
+
+
 def test_dryrun_multichip_hermetic_to_cpu():
     """VERDICT round-1 item 2: dryrun_multichip must never initialise the
     TPU client. Run it in a fresh subprocess WITHOUT JAX_PLATFORMS=cpu (so
