@@ -43,6 +43,11 @@ def build_parser():
     parser.add_argument("--render", action="store_true")
     parser.add_argument("--out", type=str, default="./demo_out")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--precision", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="bfloat16 = the measured serving default "
+                             "(BASELINE.md): generator+CVAE on the MXU "
+                             "in bf16")
     return parser
 
 
@@ -121,6 +126,15 @@ def main(args=None):
     emotion_idx = EMOTION_LABELS.index(args.emotion)
     y = jax.nn.one_hot(jnp.asarray([emotion_idx]), 8)
 
+    if getattr(args, "precision", "float32") == "bfloat16":
+        from ..core.precision import bf16_variables, cast_tree
+
+        gvars = bf16_variables(gvars)
+        vvars = cast_tree(vvars, jnp.bfloat16)
+        spec = spec.astype(jnp.bfloat16)
+        prior = prior.astype(jnp.bfloat16)
+        y = y.astype(jnp.bfloat16)
+
     @jax.jit
     def generate(keys):
         def one(k):
@@ -128,7 +142,7 @@ def main(args=None):
                                 rngs={"sample": k})
             out, *_ = gen.apply(gvars, spec, text, prior, sampled,
                                 train=False)
-            return out[0]
+            return out[0].astype(jnp.float32)
 
         return jax.vmap(one)(keys)
 

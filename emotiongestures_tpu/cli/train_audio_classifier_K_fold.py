@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max_folds", type=int, default=None)
     parser.add_argument("--eval_every", type=int, default=100)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="bfloat16 = MXU mixed precision (fp32 "
+                             "masters, bf16 forward/backward)")
     return parser
 
 
@@ -115,6 +119,7 @@ def main(args=None):
         seed=args.seed,
         max_folds=args.max_folds,
         checkpoint_fn=checkpoint_fn,
+        compute_dtype=args.compute_dtype,
     )
     for r in results:
         logging.info("Fold %d: Test Accuracy %.2f%%", r["fold"] + 1,

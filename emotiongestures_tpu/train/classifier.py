@@ -16,8 +16,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import losses, schedules
+from ..core.precision import cast_tree
 from ..models import EmotionNet
 from .state import TrainState, create_train_state, model_variables
+
+
+def _caster(compute_dtype: str):
+    """Mixed precision (same policy as train/gan.py): fp32 masters, the
+    forward/backward in `compute_dtype`; identity for float32."""
+    cdtype = jnp.dtype(compute_dtype)
+    if cdtype == jnp.float32:
+        return lambda t: t
+    return lambda t: cast_tree(t, cdtype)
 
 
 def create_state(rng_key, lr: float = 3e-4, beta1: float = 0.5,
@@ -31,19 +41,24 @@ def create_state(rng_key, lr: float = 3e-4, beta1: float = 0.5,
     return create_train_state(model, variables, tx)
 
 
-@functools.partial(jax.jit, static_argnames=("gamma",), donate_argnums=0)
+@functools.partial(jax.jit, static_argnames=("gamma", "compute_dtype"),
+                   donate_argnums=0)
 def train_step(state: TrainState, spec, labels_onehot, alpha,
-               gamma: float = 2.0):
+               gamma: float = 2.0, compute_dtype: str = "float32"):
     """One optimizer step. labels are one-hot (collate keeps them so,
     argmax'd like train_...py:168); alpha is the per-class focal weight
-    vector recomputed per epoch (train_...py:147-151)."""
+    vector recomputed per epoch (train_...py:147-151).
+    compute_dtype="bfloat16" runs the fwd/bwd in bf16 (fp32 masters,
+    fp32 loss — same policy as train/gan.py)."""
     labels = jnp.argmax(labels_onehot, axis=1)
+    cast_c = _caster(compute_dtype)
 
     def loss_fn(params):
         out, mutated = state.apply_fn(
-            {"params": params, "batch_stats": state.batch_stats},
-            spec, train=True, mutable=["batch_stats"],
+            {"params": cast_c(params), "batch_stats": state.batch_stats},
+            cast_c(spec), train=True, mutable=["batch_stats"],
         )
+        out = out.astype(jnp.float32)
         loss = losses.focal_loss(out, labels, alpha=alpha, gamma=gamma) * 100.0
         return loss, (mutated["batch_stats"], out)
 
@@ -54,10 +69,14 @@ def train_step(state: TrainState, spec, labels_onehot, alpha,
     return new_state, {"loss": loss, "acc": acc}
 
 
-@jax.jit
-def eval_step(state: TrainState, spec, labels_onehot):
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def eval_step(state: TrainState, spec, labels_onehot,
+              compute_dtype: str = "float32"):
     labels = jnp.argmax(labels_onehot, axis=1)
-    out = state.apply_fn(model_variables(state), spec, train=False)
+    cast_c = _caster(compute_dtype)
+    v = model_variables(state)
+    v = {**v, "params": cast_c(v["params"])}
+    out = state.apply_fn(v, cast_c(spec), train=False)
     preds = jnp.argmax(out, 1)
     acc = 100.0 * jnp.mean(preds == labels)
     return acc, preds, labels
@@ -131,6 +150,7 @@ def train_k_fold(
     seed: int = 0,
     max_folds: Optional[int] = None,
     checkpoint_fn=None,
+    compute_dtype: str = "float32",
 ):
     """Host-side K-fold driver mirroring train_...py:109-204. Returns the
     per-fold final test accuracies."""
@@ -155,10 +175,12 @@ def train_k_fold(
                 samples = [dataset[int(j)] for j in batch_ids]
                 spec = np.stack([s["spectrogram"] for s in samples])
                 labels = np.stack([s["eid_label"] for s in samples])
-                state, metrics = train_step(state, spec, labels, alpha)
+                state, metrics = train_step(state, spec, labels, alpha,
+                                            compute_dtype=compute_dtype)
                 global_iter += 1
                 if global_iter % eval_every == 0:
-                    val_acc = evaluate(state, dataset, val_idx, batch_size)
+                    val_acc = evaluate(state, dataset, val_idx, batch_size,
+                                       compute_dtype)
                     log.info(
                         "Fold %d, Epoch %d, iter %d, loss %.4f, "
                         "Val Accuracy: %.2f%%",
@@ -167,25 +189,29 @@ def train_k_fold(
                     )
                     if checkpoint_fn is not None:
                         checkpoint_fn(state, fold, epoch, global_iter)
-        test_acc, cm = test_model(state, test_dataset, batch_size)
+        test_acc, cm = test_model(state, test_dataset, batch_size,
+                                  compute_dtype)
         log.info("Fold %d Test Accuracy: %.2f%%", fold + 1, test_acc)
         results.append({"fold": fold, "test_acc": test_acc,
                         "confusion": cm, "state": state})
     return results
 
 
-def evaluate(state, dataset, indices, batch_size: int) -> float:
+def evaluate(state, dataset, indices, batch_size: int,
+             compute_dtype: str = "float32") -> float:
     accs = []
     for i in range(0, len(indices) - batch_size + 1, batch_size):
         samples = [dataset[int(j)] for j in indices[i : i + batch_size]]
         spec = np.stack([s["spectrogram"] for s in samples])
         labels = np.stack([s["eid_label"] for s in samples])
-        acc, _, _ = eval_step(state, spec, labels)
+        acc, _, _ = eval_step(state, spec, labels,
+                              compute_dtype=compute_dtype)
         accs.append(float(acc))
     return float(np.mean(accs)) if accs else 0.0
 
 
-def test_model(state, dataset, batch_size: int):
+def test_model(state, dataset, batch_size: int,
+               compute_dtype: str = "float32"):
     """Test pass with confusion matrix (train_...py:206-255)."""
     accs = []
     cm = np.zeros((8, 8), dtype=np.int64)
@@ -194,7 +220,8 @@ def test_model(state, dataset, batch_size: int):
         samples = [dataset[int(j)] for j in range(i, i + batch_size)]
         spec = np.stack([s["spectrogram"] for s in samples])
         labels = np.stack([s["eid_label"] for s in samples])
-        acc, preds, lab = eval_step(state, spec, labels)
+        acc, preds, lab = eval_step(state, spec, labels,
+                                    compute_dtype=compute_dtype)
         accs.append(float(acc))
         cm += confusion_matrix(preds, lab)
     return (float(np.mean(accs)) if accs else 0.0), cm

@@ -152,3 +152,25 @@ def test_skeleton_train(batch):
     assert min(losses[8:]) < losses[0]
     logits, mid = skeleton.predict(state, batch["pose_seq"])
     assert logits.shape == (16, 8)
+
+
+def test_classifier_bf16_compute_step(batch):
+    """Classifier mixed precision mirrors the GAN policy: fp32 masters,
+    bf16 fwd/bwd, loss near the fp32 step-0 loss."""
+    alpha = classifier.class_alpha(batch["eid_label"])
+    s32 = classifier.create_state(jax.random.PRNGKey(0))
+    s16 = classifier.create_state(jax.random.PRNGKey(0))
+    s32, m32 = classifier.train_step(
+        s32, batch["spectrogram"], batch["eid_label"], alpha)
+    s16, m16 = classifier.train_step(
+        s16, batch["spectrogram"], batch["eid_label"], alpha,
+        compute_dtype="bfloat16")
+    a, b = float(m32["loss"]), float(m16["loss"])
+    assert np.isfinite(b)
+    assert abs(a - b) <= 0.05 * max(abs(a), 1.0), (a, b)
+    for leaf in jax.tree_util.tree_leaves(s16.params):
+        assert leaf.dtype == jnp.float32
+    acc, _, _ = classifier.eval_step(
+        s16, batch["spectrogram"], batch["eid_label"],
+        compute_dtype="bfloat16")
+    assert 0.0 <= float(acc) <= 100.0
