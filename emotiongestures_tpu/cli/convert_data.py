@@ -90,4 +90,9 @@ def main(args=None):
 
 
 if __name__ == "__main__":
-    sys.exit(0 if main() else 1)
+    # errors raise; a successful conversion exits 0 even for an empty
+    # source (0 records usually means a wrong --lmdb path, so warn)
+    if main() == 0:
+        print("warning: 0 records converted — check the source path",
+              file=sys.stderr)
+    sys.exit(0)

@@ -135,12 +135,15 @@ def main(args=None):
         prior = prior.astype(jnp.bfloat16)
         y = y.astype(jnp.bfloat16)
 
+    # params/inputs must be ARGUMENTS, not closure captures: closing over
+    # them embeds ~180 MB of HLO constants, which the remote-compile
+    # tunnel rejects (see CLAUDE.md)
     @jax.jit
-    def generate(keys):
+    def generate(gv, vv, spec_in, prior_in, y_in, keys):
         def one(k):
-            sampled = vae.apply(vvars, y, method="sample",
+            sampled = vae.apply(vv, y_in, method="sample",
                                 rngs={"sample": k})
-            out, *_ = gen.apply(gvars, spec, text, prior, sampled,
+            out, *_ = gen.apply(gv, spec_in, text, prior_in, sampled,
                                 train=False)
             return out[0].astype(jnp.float32)
 
@@ -148,7 +151,7 @@ def main(args=None):
 
     keys = jax.random.split(jax.random.fold_in(key, 3), args.num_samples)
     t0 = time.time()
-    poses = np.asarray(generate(keys))
+    poses = np.asarray(generate(gvars, vvars, spec, prior, y, keys))
     dt = time.time() - t0
     logging.info("generated %d diverse samples of (%d, %d) in %.2fs "
                  "(emotion=%s)", args.num_samples, args.n_frames,

@@ -115,7 +115,6 @@ class Vocab:
             weights = np.random.RandomState(0).normal(
                 0, scale=init_sd, size=(self.n_words, embedding_dim)
             ).astype(np.float32)
-            n_embedded = 0
             with open(pretrained_path, encoding="utf-8") as f:
                 for line_raw in f:
                     line = line_raw.split()
@@ -128,7 +127,6 @@ class Vocab:
                         idx = self.word2index.get(word, None)
                         if idx is not None:
                             weights[idx] = vector
-                            n_embedded += 1
                     except (ValueError, IndexError):
                         continue
             if use_cache:
