@@ -83,6 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="bfloat16 runs the generator+CVAE in bf16 "
                              "(serving default per BASELINE.md); metric "
                              "nets stay fp32")
+    parser.add_argument("--fused_attention", action="store_true",
+                        help="use the fused Pallas post-LN attention "
+                             "sublayer in the generator (serving default "
+                             "with --precision bfloat16; ~5%% faster)")
     parser.add_argument("--device_beat", action="store_true",
                         help="compute the beat-alignment onset envelopes "
                              "and frame RMS in one jitted TPU pass per "
@@ -135,7 +139,8 @@ def test_model(args, batches, n_words: int):
         n_words=n_words, frames=args.n_frames, pose_dim=args.pose_dim,
         prior_frames=args.n_pre_poses, d_model=d_model,
         d_inner=args.latent_dim, n_layers=gen_layers, n_head=8, d_k=64,
-        d_v=64, chunk_length=args.chunk, text_dropout=args.dropout_prob)
+        d_v=64, chunk_length=args.chunk, text_dropout=args.dropout_prob,
+        fused_attention=getattr(args, "fused_attention", False))
     fgd_net = FGDAutoEncoder(pose_dim=args.pose_dim)
     skeleton = SkeletonTransformer(
         class_dim=args.class_dim, pose_dim=args.pose_dim, d_model=512,

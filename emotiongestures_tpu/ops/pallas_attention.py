@@ -65,11 +65,17 @@ def _mha_kernel(q_ref, kv_ref, wq_ref, wk_ref, wv_ref, wo_ref, scale_ref,
 @functools.partial(jax.jit, static_argnames=("n_head", "d_k", "interpret"))
 def fused_attention(q_in, kv_in, wq, wk, wv, wo, ln_scale, ln_bias,
                     n_head: int = 8, d_k: int = 64,
-                    interpret: bool = False):
+                    interpret: bool | None = None):
     """Fused post-LN attention sublayer, self- OR cross-attention.
     q_in: (B, Lq, d_model) (also the residual), kv_in: (B, Lk, d_model),
     Lq, Lk <= 64; weights (d_model, n_head*d_k) / (n_head*d_k, d_model).
-    Eval mode (no dropout)."""
+    Eval mode (no dropout). `interpret=None` auto-selects the Pallas
+    interpreter off-TPU so `fused_attention=True` models stay runnable
+    on the CPU test backend."""
+    if interpret is None:
+        import jax as _jax
+
+        interpret = _jax.default_backend() != "tpu"
     B, Lq, D = q_in.shape
     Lk = kv_in.shape[1]
     qp = jnp.pad(q_in, ((0, 0), (0, SEQ_PAD - Lq), (0, 0)))
