@@ -142,6 +142,55 @@ def test_dp_gan_train_step_matches_single_device(rng):
         assert n_out <= max(1, n_tot // 1000), (tag, n_out, n_tot)
 
 
+def test_dp_eval_pipeline_matches_single_device(rng):
+    """Batch-parallel SERVING: the eval device pipeline (CVAE sample +
+    generator + FGD/skeleton features) sharded over the data mesh must
+    reproduce single-device outputs — production inference is DP over
+    batches with replicated params."""
+    from emotiongestures_tpu.models import (EmotionCVAEv3, FGDAutoEncoder,
+                                            GestureTransformer,
+                                            SkeletonTransformer)
+
+    gen = GestureTransformer(n_words=16, frames=60, d_model=64,
+                             d_inner=128, n_layers=1, n_head=4, d_k=16,
+                             d_v=16)
+    vae = EmotionCVAEv3(feat_dim=64)
+    fgd_net = FGDAutoEncoder()
+    skl = SkeletonTransformer(d_model=128, d_inner=128, n_layers=1)
+    spec = jnp.asarray(rng.randn(16, 128, 124), jnp.float32)
+    text = jnp.asarray(rng.randint(0, 16, (16, 60)))
+    target = jnp.asarray(rng.randn(16, 60, 282), jnp.float32)
+    y = jax.nn.one_hot(jnp.arange(16) % 8, 8)
+    gv = gen.init(jax.random.PRNGKey(0), spec[:1], text[:1], target[:1, :10])
+    vv = vae.init({"params": jax.random.PRNGKey(1),
+                   "sample": jax.random.PRNGKey(2)},
+                  jnp.zeros((1, 60, 64)), jnp.zeros((1, 8)))
+    fv = fgd_net.init(jax.random.PRNGKey(3), target[:1])
+    sv = skl.init(jax.random.PRNGKey(4), target[:1])
+
+    @jax.jit
+    def eval_batch(gv, vv, fv, sv, spec, text, target, y, key):
+        sampled = vae.apply(vv, y, method="sample", rngs={"sample": key})
+        pred, *_ = gen.apply(gv, spec, text, target[:, :10], sampled,
+                             train=False)
+        _, feat = fgd_net.apply(fv, pred)
+        logits, _ = skl.apply(sv, pred)
+        return pred, feat, logits
+
+    key = jax.random.PRNGKey(7)
+    ref = eval_batch(gv, vv, fv, sv, spec, text, target, y, key)
+
+    mesh = make_mesh()
+    rgv, rvv, rfv, rsv = (replicate(v, mesh) for v in (gv, vv, fv, sv))
+    s_in = shard_batch({"spec": spec, "text": text, "target": target,
+                        "y": y}, mesh)
+    got = eval_batch(rgv, rvv, rfv, rsv, s_in["spec"], s_in["text"],
+                     s_in["target"], s_in["y"], key)
+    for name, a, b in zip(("pred", "feat", "logits"), ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-4, err_msg=name)
+
+
 def test_dp_gan_train_step_bf16_compute(rng):
     """Mixed precision under GSPMD: the bf16-compute train_step sharded
     over the data mesh matches its own single-device execution (step-0
