@@ -91,3 +91,21 @@ def test_render_video(tmp_path, rng):
 
     assert os.path.exists(path)
     assert out_poses.shape == (T, 10, 3)
+
+
+def test_tts_helper_cache(tmp_path):
+    """utils/tts_helper.py:9-104 semantics without the optional GCP dep:
+    deterministic text-hash cache keys, cache hits short-circuit
+    synthesis, voice change invalidates the key."""
+    from emotiongestures_tpu.utils.tts_helper import TTSHelper
+
+    h = TTSHelper(cache_path=str(tmp_path / "tts"))
+    f1 = h._cache_file("hello world")
+    assert f1 == h._cache_file("hello world")
+    assert f1 != h._cache_file("other text")
+    other_voice = TTSHelper(cache_path=str(tmp_path / "tts"),
+                            voice_name="en-US-Wavenet-A")
+    assert other_voice._cache_file("hello world") != f1
+    # a pre-existing cache entry is returned without touching the client
+    f1.write_bytes(b"RIFFfake")
+    assert h.synthesis("hello world") == str(f1)
