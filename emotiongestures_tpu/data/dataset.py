@@ -203,7 +203,8 @@ class TedSpeechMotionDataset(SpeechMotionDataset):
                  subdivision_stride: int = 10,
                  pose_resampling_fps: int = 15,
                  mean_dir_vec=None, mean_pose=None,
-                 speaker_model=None, remove_word_timing: bool = False):
+                 speaker_model=None, remove_word_timing: bool = False,
+                 disable_filtering: bool = False):
         from pathlib import Path as _P
 
         self.mean_dir_vec = (
@@ -220,10 +221,27 @@ class TedSpeechMotionDataset(SpeechMotionDataset):
                 data_dir, cache_dir, n_poses, subdivision_stride,
                 pose_resampling_fps, mean_pose=mean_pose,
                 mean_dir_vec=mean_dir_vec,
+                disable_filtering=disable_filtering,
             ).run()
         super().__init__(data_dir, n_poses, subdivision_stride,
                          pose_resampling_fps, speaker_model,
                          remove_word_timing)
+
+    @classmethod
+    def expressive(cls, data_dir, **kwargs):
+        """TED-expressive configuration: the 43-joint mean tables inlined
+        at lmdb_data_loader_expressive.py:239-260 (vendored in
+        data/expressive_constants.py) as the normalisation vectors; the
+        126-d mean selects the 43-joint dir-vec pairs in preprocessing,
+        and the expressive variant runs the motion filters OFF
+        (data_preprocessor_expressive semantics)."""
+        from .expressive_constants import (EXPRESSIVE_MEAN_DIR_VEC,
+                                           EXPRESSIVE_MEAN_POSE)
+
+        kwargs.setdefault("mean_dir_vec", EXPRESSIVE_MEAN_DIR_VEC)
+        kwargs.setdefault("mean_pose", EXPRESSIVE_MEAN_POSE)
+        kwargs.setdefault("disable_filtering", True)
+        return cls(data_dir, **kwargs)
 
     def __getitem__(self, idx: int) -> dict:
         sample = super().__getitem__(idx)

@@ -92,12 +92,25 @@ class DataPreprocessor:
                  subdivision_stride: int, pose_resampling_fps: int,
                  mean_pose=None, mean_dir_vec=None,
                  disable_filtering: bool = False,
-                 convert_to_dir_vec: bool = True):
+                 convert_to_dir_vec: bool = True,
+                 dir_vec_pairs=None):
+        from ..ops.pose import DIR_VEC_PAIRS, DIR_VEC_PAIRS_EXPRESSIVE
+
         self.n_poses = n_poses
         self.subdivision_stride = subdivision_stride
         self.skeleton_resampling_fps = pose_resampling_fps
         self.mean_pose = mean_pose
         self.mean_dir_vec = mean_dir_vec
+        if dir_vec_pairs is None:
+            # infer the skeleton family from the mean vector: 42 pairs x 3
+            # = 126 is the TED-expressive 43-joint layout
+            # (lmdb_data_loader_expressive.py:239-260), else the 10-joint
+            # TED layout (utils/data_utils.py:27-34)
+            expressive = (mean_dir_vec is not None and
+                          np.asarray(mean_dir_vec).size == 126)
+            dir_vec_pairs = (DIR_VEC_PAIRS_EXPRESSIVE if expressive
+                             else DIR_VEC_PAIRS)
+        self.dir_vec_pairs = dir_vec_pairs
         self.disable_filtering = disable_filtering
         self.convert_to_dir_vec = convert_to_dir_vec
         self.src = GestureStore(clip_store_dir)
@@ -205,7 +218,8 @@ class DataPreprocessor:
                     }
                     if self.convert_to_dir_vec and self.mean_dir_vec \
                             is not None:
-                        dir_vec = convert_pose_seq_to_dir_vec(poses)
+                        dir_vec = convert_pose_seq_to_dir_vec(
+                            poses, pairs=self.dir_vec_pairs)
                         record["vec_seq"] = (
                             dir_vec.reshape(len(poses), -1)
                             - np.asarray(self.mean_dir_vec).reshape(1, -1)

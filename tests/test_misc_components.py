@@ -109,3 +109,36 @@ def test_tts_helper_cache(tmp_path):
     # a pre-existing cache entry is returned without touching the client
     f1.write_bytes(b"RIFFfake")
     assert h.synthesis("hello world") == str(f1)
+
+
+def test_ted_expressive_dataset_variant(tmp_path, rng):
+    """TED-expressive end-to-end (lmdb_data_loader_expressive.py:58-260):
+    the vendored 43-joint mean tables select the 42-pair dir-vec layout
+    in preprocessing, filters run OFF (expressive preprocessor
+    semantics), and clips come out as (n_poses, 126) sequences."""
+    from emotiongestures_tpu.data import EXPRESSIVE_MEAN_DIR_VEC
+    from emotiongestures_tpu.data.dataset import TedSpeechMotionDataset
+    from emotiongestures_tpu.data.store import GestureStoreWriter
+    from tests.test_preprocessing import _make_clip
+
+    clip = _make_clip(rng)
+    n_frames = clip["skeletons_3d"].shape[0]
+    skel = 0.05 * rng.randn(n_frames, 43, 3).astype(np.float32)
+    skel[:, 1, 1] = -0.5
+    clip["skeletons_3d"] = skel
+    clip_dir = tmp_path / "ted_exp"
+    with GestureStoreWriter(clip_dir) as w:
+        w.append(clip)
+
+    ds = TedSpeechMotionDataset.expressive(
+        clip_dir, n_poses=34, subdivision_stride=10,
+        pose_resampling_fps=15)
+    assert len(ds) > 0
+    s = ds[0]
+    assert s["vec_seq"].shape == (34, 126)
+    # vec_seq = unit dir-vecs minus the vendored mean: adding the mean
+    # back must restore unit-norm rows
+    restored = s["vec_seq"] + np.asarray(EXPRESSIVE_MEAN_DIR_VEC)[None, :]
+    np.testing.assert_allclose(
+        np.linalg.norm(restored.reshape(34, 42, 3), axis=-1), 1.0,
+        rtol=1e-4)
