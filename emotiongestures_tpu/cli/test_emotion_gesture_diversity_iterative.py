@@ -85,8 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "nets stay fp32")
     parser.add_argument("--fused_attention", action="store_true",
                         help="use the fused Pallas post-LN attention "
-                             "sublayer in the generator (serving default "
-                             "with --precision bfloat16; ~5%% faster)")
+                             "sublayer in the generator (opt-in; ~5%% "
+                             "faster on TPU, pairs well with "
+                             "--precision bfloat16 — BASELINE.md)")
     parser.add_argument("--device_beat", action="store_true",
                         help="compute the beat-alignment onset envelopes "
                              "and frame RMS in one jitted TPU pass per "

@@ -249,11 +249,18 @@ class TedSpeechMotionDataset(SpeechMotionDataset):
         if "vec_seq" in rec:
             sample["vec_seq"] = np.asarray(rec["vec_seq"], np.float32)
         else:
-            from ..ops.pose import convert_pose_seq_to_dir_vec
+            from ..ops.pose import (DIR_VEC_PAIRS, DIR_VEC_PAIRS_EXPRESSIVE,
+                                    convert_pose_seq_to_dir_vec)
 
+            # pick the pair table matching the mean vector (126-d = the
+            # 43-joint expressive layout), as the preprocessor does
+            pairs = (DIR_VEC_PAIRS_EXPRESSIVE
+                     if self.mean_dir_vec is not None
+                     and self.mean_dir_vec.size == 126 else DIR_VEC_PAIRS)
             T = sample["pose_seq"].shape[0]
             vec = convert_pose_seq_to_dir_vec(
-                sample["pose_seq"].reshape(T, -1, 3)).reshape(T, -1)
+                sample["pose_seq"].reshape(T, -1, 3),
+                pairs=pairs).reshape(T, -1)
             if self.mean_dir_vec is not None:
                 vec = vec - self.mean_dir_vec
             sample["vec_seq"] = vec.astype(np.float32)

@@ -111,6 +111,11 @@ class DataPreprocessor:
             dir_vec_pairs = (DIR_VEC_PAIRS_EXPRESSIVE if expressive
                              else DIR_VEC_PAIRS)
         self.dir_vec_pairs = dir_vec_pairs
+        # the reference's EXPRESSIVE MotionPreprocessor has every filter
+        # commented out — it always returns (skeletons, "PASS") with only
+        # a NaN assert (motion_preprocessor_expressive.py:10-31); mirror
+        # that as a pass-through whenever the 42-pair layout is active
+        self.filters_pass_through = len(self.dir_vec_pairs) == 42
         self.disable_filtering = disable_filtering
         self.convert_to_dir_vec = convert_to_dir_vec
         self.src = GestureStore(clip_store_dir)
@@ -186,7 +191,14 @@ class DataPreprocessor:
                 sample_audio = clip_audio_raw[r_start:r_end]
 
             if len(sample_words) >= 2:
-                if self.mean_pose is not None:
+                if self.filters_pass_through:
+                    # expressive semantics: no filtering, NaN guard only
+                    # (motion_preprocessor_expressive.py:26-29)
+                    assert not np.isnan(sample_skeletons).any(), \
+                        "missing joints"
+                    message = "PASS"
+                    is_correct = True
+                elif self.mean_pose is not None:
                     sample_skeletons, message = MotionPreprocessor(
                         sample_skeletons, self.mean_pose).get()
                     is_correct = sample_skeletons.size > 0

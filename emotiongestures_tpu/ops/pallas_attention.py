@@ -73,9 +73,7 @@ def fused_attention(q_in, kv_in, wq, wk, wv, wo, ln_scale, ln_bias,
     interpreter off-TPU so `fused_attention=True` models stay runnable
     on the CPU test backend."""
     if interpret is None:
-        import jax as _jax
-
-        interpret = _jax.default_backend() != "tpu"
+        interpret = jax.default_backend() != "tpu"
     B, Lq, D = q_in.shape
     Lk = kv_in.shape[1]
     qp = jnp.pad(q_in, ((0, 0), (0, SEQ_PAD - Lq), (0, 0)))
@@ -107,7 +105,7 @@ def fused_attention(q_in, kv_in, wq, wk, wv, wo, ln_scale, ln_bias,
 
 def fused_self_attention(x, wq, wk, wv, wo, ln_scale, ln_bias,
                          n_head: int = 8, d_k: int = 64,
-                         interpret: bool = False):
+                         interpret: bool | None = None):
     """Self-attention convenience wrapper (q = k = v = x)."""
     return fused_attention(x, x, wq, wk, wv, wo, ln_scale, ln_bias,
                            n_head=n_head, d_k=d_k, interpret=interpret)

@@ -142,3 +142,34 @@ def test_ted_expressive_dataset_variant(tmp_path, rng):
     np.testing.assert_allclose(
         np.linalg.norm(restored.reshape(34, 42, 3), axis=-1), 1.0,
         rtol=1e-4)
+
+
+def test_ted_expressive_fallback_on_cache_without_vec_seq(tmp_path, rng):
+    """An existing cache whose records lack vec_seq (built without a mean
+    vector) must still serve the expressive config: __getitem__'s
+    fallback conversion has to pick the 42-pair table from the 126-d
+    mean instead of the 10-joint default."""
+    from emotiongestures_tpu.data.dataset import TedSpeechMotionDataset
+    from emotiongestures_tpu.data.store import GestureStoreWriter
+    from tests.test_preprocessing import _make_clip
+
+    clip = _make_clip(rng)
+    n_frames = clip["skeletons_3d"].shape[0]
+    skel = 0.05 * rng.randn(n_frames, 43, 3).astype(np.float32)
+    skel[:, 1, 1] = -0.5
+    clip["skeletons_3d"] = skel
+    clip_dir = tmp_path / "ted_exp2"
+    with GestureStoreWriter(clip_dir) as w:
+        w.append(clip)
+    # build the cache WITHOUT a mean vector -> records have no vec_seq
+    ds0 = TedSpeechMotionDataset(clip_dir, n_poses=34,
+                                 subdivision_stride=10,
+                                 pose_resampling_fps=15)
+    assert "vec_seq" not in ds0.store[0]
+    # expressive view over the SAME cache exercises the fallback
+    ds = TedSpeechMotionDataset.expressive(
+        clip_dir, n_poses=34, subdivision_stride=10,
+        pose_resampling_fps=15)
+    s = ds[0]
+    assert s["vec_seq"].shape == (34, 126)
+    assert np.isfinite(s["vec_seq"]).all()
