@@ -3,8 +3,8 @@
 test:            ## full suite on the 8-device virtual CPU mesh (~20 min)
 	python -m pytest tests/ -q
 
-test-fast:       ## everything except the heavy train/integration tests
-	python -m pytest tests/ -q --ignore=tests/test_train.py \
+test-fast:       ## everything except @slow and the heavy train tests
+	python -m pytest tests/ -q -m "not slow" --ignore=tests/test_train.py \
 	    --ignore=tests/test_integration.py
 
 native:          ## build the C++ batch record decoder
