@@ -241,10 +241,12 @@ def get_baseline() -> float | None:
     return fps
 
 
-def bench_train_step(batch=128, compute_dtype="float32") -> dict:
+def bench_train_step(batch=128, compute_dtype="float32",
+                     update_order="d_first") -> dict:
     """GAN train_step (G+D updates) steps/s at the flagship config.
     `compute_dtype="bfloat16"` benches the mixed-precision policy
-    (fp32 master params/optimizer, bf16 forward/backward)."""
+    (fp32 master params/optimizer, bf16 forward/backward);
+    `update_order="g_first"` the shared-forward ordering."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -252,7 +254,8 @@ def bench_train_step(batch=128, compute_dtype="float32") -> dict:
     from emotiongestures_tpu.train import gan
     from emotiongestures_tpu.train.state import TrainState
 
-    cfg = gan.GANConfig(n_words=N_WORDS, compute_dtype=compute_dtype)
+    cfg = gan.GANConfig(n_words=N_WORDS, compute_dtype=compute_dtype,
+                        update_order=update_order)
     gs, ds = gan.create_states(cfg, jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     batch_d = {
@@ -276,11 +279,12 @@ def bench_train_step(batch=128, compute_dtype="float32") -> dict:
         return m["g_loss"] + m["d_loss"]
 
     dt = timed_rounds(step, iters=10, rounds=3, warmup=2)
-    print(f"[bench] train_step[{compute_dtype}]: {dt * 1e3:.1f} ms/step "
+    print(f"[bench] train_step[{compute_dtype},{update_order}]: "
+          f"{dt * 1e3:.1f} ms/step "
           f"at batch {batch} ({batch / dt:.0f} samples/s)", file=sys.stderr)
     return {"ms_per_step": dt * 1e3, "batch": batch,
             "samples_per_sec": batch / dt, "flops": flops,
-            "compute_dtype": compute_dtype}
+            "compute_dtype": compute_dtype, "update_order": update_order}
 
 
 def bench_eval_pipeline(batch=1024, precision="float32") -> dict:
@@ -364,8 +368,10 @@ def bench_eval_pipeline(batch=1024, precision="float32") -> dict:
 def main():
     if "--train" in sys.argv:
         cdtype = "bfloat16" if "--bf16" in sys.argv else "float32"
+        order = "g_first" if "--g-first" in sys.argv else "d_first"
         print(json.dumps({"mode": "train_step",
-                          **bench_train_step(compute_dtype=cdtype)}))
+                          **bench_train_step(compute_dtype=cdtype,
+                                             update_order=order)}))
         return
     if "--eval" in sys.argv:
         prec = "bfloat16" if "--bf16" in sys.argv else "float32"

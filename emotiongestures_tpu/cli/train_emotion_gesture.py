@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["float32", "bfloat16"],
                         help="bfloat16 = MXU mixed precision (fp32 master "
                              "params/optimizer, bf16 forward/backward)")
+    parser.add_argument("--update_order", type=str, default="d_first",
+                        choices=["d_first", "g_first"],
+                        help="g_first shares one generator forward between "
+                             "both updates (G adv term sees the pre-update "
+                             "D) — see train/gan.py; measured speedup in "
+                             "BASELINE.md")
     return parser
 
 
@@ -91,7 +97,8 @@ def main(args=None):
         loss_gan_weight=args.loss_gan_weight,
         loss_emotion_weight=args.loss_emotion_weight,
         loss_contrastive_weight=args.loss_contrastive_weight,
-        variant=args.variant, compute_dtype=args.compute_dtype)
+        variant=args.variant, compute_dtype=args.compute_dtype,
+        update_order=args.update_order)
     gen_state, disc_state = gan.create_states(cfg, jax.random.PRNGKey(
         args.seed))
     if args.resume:

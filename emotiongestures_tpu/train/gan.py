@@ -83,6 +83,17 @@ class GANConfig:
     # "paired_label" (emotion InfoNCE over same-label clips) or "emo_sem"
     # (reference SoftmaxContrastiveLoss between emotion/semantic features)
     contrastive_mode: str = "paired_label"
+    # "d_first" (default): D updates on a dedicated fake-generation pass,
+    # then G's adversarial term sees the UPDATED D — the torch-convention
+    # ordering. "g_first": ONE generator forward/backward serves both
+    # updates — G's adversarial term sees the PRE-update D and D trains on
+    # stop_gradient of the same prediction. Both are standard GAN
+    # orderings; the reconstruction defaults to d_first. g_first removes
+    # a full generator forward per step — measured 1.07x at the flagship
+    # config (75.5 vs 80.7 ms/step bf16: XLA recovers most of the
+    # duplicated forward's cost in d_first already), with the 25-epoch
+    # learning check landing on the same eval metrics (BASELINE.md).
+    update_order: str = "d_first"
     # steps per epoch > 0 bakes the reference's staged LR ladder
     # (test_...py:64-78) into the optimizer schedule inside jit
     steps_per_epoch: int = 0
@@ -145,39 +156,25 @@ def train_step(gen_state: TrainState, disc_state: TrainState, batch,
         else (lambda t: t)
     f32 = lambda x: x.astype(jnp.float32)
 
-    # --- discriminator update -------------------------------------------
-    # fake batch generated in TRAIN mode (G stays in train mode during the
-    # D step, torch convention); its BN mutations are discarded — the G
-    # update below recomputes them from the same batch.
-    (fake, *_), _ = gen_state.apply_fn(
-        {"params": cast_c(gen_state.params),
-         "batch_stats": gen_state.batch_stats},
-        cast_c(spec), text, cast_c(prior),
-        train=True, rngs={"dropout": d_gen_rng}, mutable=["batch_stats"],
-    )
-    fake = jax.lax.stop_gradient(fake)
+    def d_update(fake):
+        """One discriminator step on `fake` (already stop-gradient'd,
+        compute dtype); reads the PRE-update disc state."""
+        def d_loss_fn(dparams):
+            dv = {"params": cast_c(dparams), **(
+                {"batch_stats": disc_state.batch_stats}
+                if disc_state.batch_stats else {})}
+            real_logits = disc_state.apply_fn(
+                dv, calc_motion(cast_c(target)), train=True,
+                rngs={"dropout": d_rng_real})
+            fake_logits = disc_state.apply_fn(
+                dv, calc_motion(fake), train=True,
+                rngs={"dropout": d_rng_fake})
+            return losses.gan_d_loss(f32(real_logits), f32(fake_logits))
 
-    def d_loss_fn(dparams):
-        dv = {"params": cast_c(dparams), **(
-            {"batch_stats": disc_state.batch_stats}
-            if disc_state.batch_stats else {})}
-        real_logits = disc_state.apply_fn(
-            dv, calc_motion(cast_c(target)), train=True,
-            rngs={"dropout": d_rng_real})
-        fake_logits = disc_state.apply_fn(
-            dv, calc_motion(fake), train=True,
-            rngs={"dropout": d_rng_fake})
-        return losses.gan_d_loss(f32(real_logits), f32(fake_logits))
-
-    if use_disc:
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(disc_state.params)
-        new_disc = disc_state.apply_gradients(d_grads)
-    else:
-        d_loss = jnp.zeros(())
-        new_disc = disc_state
+        return d_loss, disc_state.apply_gradients(d_grads)
 
-    # --- generator update -------------------------------------------------
-    def g_loss_fn(gparams):
+    def g_loss_fn(gparams, disc_for_adv):
         gv = {"params": cast_c(gparams), "batch_stats": gen_state.batch_stats}
         (pred, emo_feat, sem_feat, emo_logits, _), mutated = \
             gen_state.apply_fn(
@@ -194,23 +191,58 @@ def train_step(gen_state: TrainState, disc_state: TrainState, batch,
                 f32(emo_feat).mean(axis=1), f32(sem_feat).mean(axis=1))
         con = con * cfg.loss_contrastive_weight
         if use_disc:
-            fake_logits = new_disc.apply_fn(
-                {"params": cast_c(new_disc.params), **(
-                    {"batch_stats": new_disc.batch_stats}
-                    if new_disc.batch_stats else {})},
+            fake_logits = disc_for_adv.apply_fn(
+                {"params": cast_c(disc_for_adv.params), **(
+                    {"batch_stats": disc_for_adv.batch_stats}
+                    if disc_for_adv.batch_stats else {})},
                 calc_motion(pred), train=False)
             adv = losses.gan_g_loss(f32(fake_logits)) * cfg.loss_gan_weight
         else:
             adv = jnp.zeros(())
         total = rec + emo + con + adv
         aux = {"g_rec": rec, "g_emo": emo, "g_con": con, "g_adv": adv,
-               "batch_stats": mutated["batch_stats"]}
+               "batch_stats": mutated["batch_stats"],
+               "fake": jax.lax.stop_gradient(pred)}
         return total, aux
 
-    (g_loss, aux), g_grads = jax.value_and_grad(
-        g_loss_fn, has_aux=True)(gen_state.params)
-    new_gen = gen_state.apply_gradients(
-        g_grads, new_batch_stats=aux.pop("batch_stats"))
+    if cfg.update_order == "d_first":
+        # --- discriminator update first (torch convention) --------------
+        # fake batch generated in TRAIN mode (G stays in train mode during
+        # the D step); its BN mutations are discarded — the G update below
+        # recomputes them from the same batch.
+        if use_disc:
+            (fake, *_), _ = gen_state.apply_fn(
+                {"params": cast_c(gen_state.params),
+                 "batch_stats": gen_state.batch_stats},
+                cast_c(spec), text, cast_c(prior),
+                train=True, rngs={"dropout": d_gen_rng},
+                mutable=["batch_stats"],
+            )
+            d_loss, new_disc = d_update(jax.lax.stop_gradient(fake))
+        else:
+            d_loss, new_disc = jnp.zeros(()), disc_state
+        # --- generator update: adversarial term vs the UPDATED disc -----
+        (g_loss, aux), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(gen_state.params, new_disc)
+        aux.pop("fake")
+        new_gen = gen_state.apply_gradients(
+            g_grads, new_batch_stats=aux.pop("batch_stats"))
+    elif cfg.update_order == "g_first":
+        # --- single generator fwd/bwd serves both updates ---------------
+        # adversarial term vs the PRE-update disc; D then trains on
+        # stop_gradient of the same prediction (saves one full generator
+        # forward per step)
+        (g_loss, aux), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(gen_state.params, disc_state)
+        fake = aux.pop("fake")
+        new_gen = gen_state.apply_gradients(
+            g_grads, new_batch_stats=aux.pop("batch_stats"))
+        if use_disc:
+            d_loss, new_disc = d_update(fake)
+        else:
+            d_loss, new_disc = jnp.zeros(()), disc_state
+    else:
+        raise ValueError(f"unknown update_order {cfg.update_order!r}")
 
     metrics = {"g_loss": g_loss, "d_loss": d_loss, **aux}
     return new_gen, new_disc, metrics

@@ -174,3 +174,40 @@ def test_classifier_bf16_compute_step(batch):
         s16, batch["spectrogram"], batch["eid_label"],
         compute_dtype="bfloat16")
     assert 0.0 <= float(acc) <= 100.0
+
+
+def test_gan_g_first_update_order(batch):
+    """update_order="g_first": one shared generator forward — step runs,
+    losses track the d_first step-0 losses (identical G losses: both see
+    the same pre-update G params and g_rng; D sees a different fake
+    realisation), and learning continues."""
+    small = {k: v[:4] for k, v in batch.items()}
+    cfg_d = gan.GANConfig(n_words=64, d_model=128, d_inner=256, n_layers=1)
+    cfg_g = gan.GANConfig(n_words=64, d_model=128, d_inner=256, n_layers=1,
+                          update_order="g_first")
+    gd, dd = gan.create_states(cfg_d, jax.random.PRNGKey(0))
+    gg, dg = gan.create_states(cfg_g, jax.random.PRNGKey(0))
+    _, _, md = gan.train_step(gd, dd, small, jax.random.PRNGKey(1), cfg_d)
+    gg, dg, mg = gan.train_step(gg, dg, small, jax.random.PRNGKey(1), cfg_g)
+    # rec/emo/con are computed from the identical G pass in both orders
+    for k in ("g_rec", "g_emo", "g_con"):
+        np.testing.assert_allclose(float(md[k]), float(mg[k]), rtol=1e-5,
+                                   err_msg=k)
+    # adv differs only through D-update ordering: same magnitude regime
+    assert abs(float(md["g_adv"]) - float(mg["g_adv"])) < 0.1
+    assert np.isfinite(float(mg["d_loss"]))
+    _, _, mg2 = gan.train_step(gg, dg, small, jax.random.PRNGKey(2), cfg_g)
+    assert float(mg2["g_rec"]) < float(mg["g_rec"])
+
+
+def test_gan_g_first_warmup(batch):
+    small = {k: v[:4] for k, v in batch.items()}
+    cfg = gan.GANConfig(n_words=64, d_model=128, d_inner=256, n_layers=1,
+                        update_order="g_first")
+    gs, ds = gan.create_states(cfg, jax.random.PRNGKey(0))
+    d_before = np.array(jax.tree_util.tree_leaves(ds.params)[0])
+    gs, ds, m = gan.train_step(gs, ds, small, jax.random.PRNGKey(0), cfg,
+                               use_disc=False)
+    np.testing.assert_array_equal(
+        d_before, np.asarray(jax.tree_util.tree_leaves(ds.params)[0]))
+    assert float(m["d_loss"]) == 0.0 and float(m["g_adv"]) == 0.0
