@@ -89,10 +89,18 @@ def main(args=None):
     raise SystemExit(f"unknown command {args.command}")  # pragma: no cover
 
 
-if __name__ == "__main__":
-    # errors raise; a successful conversion exits 0 even for an empty
-    # source (0 records usually means a wrong --lmdb path, so warn)
+def cli() -> None:
+    """Console-script + `python -m` entry point: errors raise; a
+    successful conversion exits 0 even for an empty source (0 records
+    usually means a wrong --lmdb path, so warn). main() itself returns
+    the record count for programmatic/test use — returning that from the
+    entry point would turn a successful run into a nonzero exit status
+    (ADVICE r2)."""
     if main() == 0:
         print("warning: 0 records converted — check the source path",
               file=sys.stderr)
+
+
+if __name__ == "__main__":
+    cli()
     sys.exit(0)

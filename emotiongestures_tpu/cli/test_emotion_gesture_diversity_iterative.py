@@ -331,5 +331,13 @@ def main(args=None):
     return test_model(args, batches, n_words)
 
 
+def cli() -> None:
+    """Console-script entry point: run main() but swallow its return value
+    so setuptools' sys.exit(main()) exits 0 (ADVICE r2: main() returns
+    rich objects for programmatic/test use, which would become a nonzero
+    exit status and stderr noise)."""
+    main()
+
+
 if __name__ == "__main__":
     main()

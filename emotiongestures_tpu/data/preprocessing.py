@@ -193,9 +193,14 @@ class DataPreprocessor:
             if len(sample_words) >= 2:
                 if self.filters_pass_through:
                     # expressive semantics: no filtering, NaN guard only
-                    # (motion_preprocessor_expressive.py:26-29)
-                    assert not np.isnan(sample_skeletons).any(), \
-                        "missing joints"
+                    # (motion_preprocessor_expressive.py:26-29). ValueError,
+                    # not assert: must survive python -O, and aborting run()
+                    # makes the writer discard the partial cache (store.py
+                    # writes atomically on clean close only).
+                    if np.isnan(sample_skeletons).any():
+                        raise ValueError(
+                            f"missing joints (NaN) in clip {vid} window "
+                            f"{start_idx}:{fin_idx}")
                     message = "PASS"
                     is_correct = True
                 elif self.mean_pose is not None:

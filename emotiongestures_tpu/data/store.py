@@ -62,11 +62,20 @@ _NATIVE = _load_native()
 
 
 class GestureStoreWriter:
+    """Atomic store writer: records stream into `<path>.tmp-<pid>` and the
+    directory is renamed onto `path` only on clean close. An exception
+    inside the `with` block (e.g. the preprocessor's NaN guard) aborts and
+    removes the temp dir, so a dataset's `cache_dir.exists()` check can
+    never see a truncated half-written cache as complete."""
+
     def __init__(self, path: str | os.PathLike):
         self.path = Path(path)
-        self.path.mkdir(parents=True, exist_ok=True)
-        self._data = open(self.path / "data.bin", "wb")
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._tmp = Path(f"{self.path}.tmp-{os.getpid()}")
+        self._tmp.mkdir(parents=True, exist_ok=True)
+        self._data = open(self._tmp / "data.bin", "wb")
         self._offsets = [0]
+        self._done = False
 
     def append(self, record: dict):
         buf = encode_record(record)
@@ -74,15 +83,37 @@ class GestureStoreWriter:
         self._offsets.append(self._offsets[-1] + len(buf))
 
     def close(self):
+        """Commit: finalize the index and atomically publish the dir."""
+        if self._done:
+            return
         self._data.close()
-        np.save(self.path / "index.npy",
+        np.save(self._tmp / "index.npy",
                 np.asarray(self._offsets, dtype=np.int64))
+        if self.path.exists():  # overwrite semantics (rebuilding a cache)
+            import shutil
+
+            shutil.rmtree(self.path)
+        os.rename(self._tmp, self.path)
+        self._done = True
+
+    def abort(self):
+        """Discard everything written so far; leaves `path` untouched."""
+        if self._done:
+            return
+        import shutil
+
+        self._data.close()
+        shutil.rmtree(self._tmp, ignore_errors=True)
+        self._done = True
 
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
-        self.close()
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()
 
 
 class GestureStore:

@@ -235,7 +235,11 @@ class TMMemory(nn.Module):
     """Temporal memory (Full_model/Models_memory.py:263-293), vectorised.
 
     score = mem @ (mem^T @ pred_enc): genuinely couples the batch — kept
-    verbatim; under a data-parallel mesh this acts per shard."""
+    verbatim. Under a data-parallel GSPMD mesh the coupling is computed
+    over the GLOBAL batch (XLA all-gathers the small (B, D) operands),
+    identical to single-device execution — verified by
+    tests/test_parallel.py::test_dp_gan_train_step_matches_single_device;
+    see also the module docstring above."""
 
     prior_frames: int
     pose_dim: int

@@ -71,7 +71,16 @@ def fused_attention(q_in, kv_in, wq, wk, wv, wo, ln_scale, ln_bias,
     Lq, Lk <= 64; weights (d_model, n_head*d_k) / (n_head*d_k, d_model).
     Eval mode (no dropout). `interpret=None` auto-selects the Pallas
     interpreter off-TPU so `fused_attention=True` models stay runnable
-    on the CPU test backend."""
+    on the CPU test backend.
+
+    Limitation (documented, ADVICE r2): `interpret=None` resolves from
+    `jax.default_backend()` at TRACE time, i.e. the process-wide default
+    platform — not from the devices this lowering actually targets. In a
+    mixed-platform process (explicit CPU `device_put` while TPU is the
+    default, or vice versa) pass `interpret` explicitly: the auto value
+    would select the compiled Mosaic kernel for a CPU execution (fails to
+    lower) or silently run the slow interpreter on TPU. Single-platform
+    processes — every CLI/test/bench in this repo — are unaffected."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, Lq, D = q_in.shape

@@ -45,3 +45,25 @@ def test_train_auxiliary_main(tmp_path, model):
     assert int(state.step) >= 1
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_console_script_wrappers_return_none():
+    """ADVICE r2: the [project.scripts] entry points must not return
+    main()'s rich value (sys.exit(dict/list/count) exits nonzero). Every
+    registered entry point targets a cli() wrapper returning None."""
+    import importlib
+    import tomllib
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    cfg = tomllib.loads((root / "pyproject.toml").read_text())
+    scripts = cfg["project"]["scripts"]
+    assert scripts, "no console scripts registered"
+    for name, target in scripts.items():
+        mod_name, func_name = target.split(":")
+        assert func_name == "cli", (name, target)
+        mod = importlib.import_module(mod_name)
+        fn = getattr(mod, func_name)
+        assert callable(fn)
+        # returning None is the contract; check annotation if present
+        assert fn.__annotations__.get("return", None) in (None, "None")

@@ -339,3 +339,56 @@ def test_convert_data_cli(tmp_path, rng, monkeypatch):
     mat = np.load(npy)
     assert mat.shape == (v.n_words, 3)
     np.testing.assert_array_equal(mat[v.word2index["hello"]], [1, 2, 3])
+
+
+def test_store_writer_atomic_on_exception(tmp_path, rng):
+    """ADVICE r2: an exception mid-write must not leave a truncated cache
+    that a later `cache_dir.exists()` check treats as complete."""
+    target = tmp_path / "cache"
+    with pytest.raises(RuntimeError):
+        with GestureStoreWriter(target) as w:
+            w.append({"pose_seq": rng.randn(4, 8).astype(np.float32)})
+            raise RuntimeError("simulated preprocessing failure")
+    assert not target.exists()  # nothing published
+    assert not list(tmp_path.iterdir())  # temp dir cleaned up too
+
+
+def test_store_writer_atomic_overwrite(tmp_path, rng):
+    """A clean rebuild atomically replaces an existing cache dir."""
+    target = tmp_path / "cache"
+    for n in (2, 3):
+        with GestureStoreWriter(target) as w:
+            for i in range(n):
+                w.append({"pose_seq": np.full((2, 2), i, np.float32)})
+        store = GestureStore(target)
+        assert len(store) == n
+        store.close()
+    assert not [p for p in tmp_path.iterdir() if "tmp" in p.name]
+
+
+def test_preprocessor_nan_guard_discards_cache(tmp_path):
+    """The expressive pass-through NaN guard raises ValueError (not
+    assert) and the aborted run leaves no output cache behind."""
+    from emotiongestures_tpu.data.preprocessing import DataPreprocessor
+
+    clip_dir = tmp_path / "clips"
+    skel = np.zeros((40, 43, 3), np.float32)
+    skel[7, 5, 1] = np.nan
+    with GestureStoreWriter(clip_dir) as w:
+        w.append({
+            "skeletons_3d": skel,
+            "audio_feat": np.zeros((128, 90), np.float16),
+            "audio_raw": np.zeros(16000 * 2, np.float32),
+            "words": [["hi", 0.1, 0.5], ["there", 0.6, 1.4]],
+            "aux_info": {"vid": "v0", "eid": "1_x_0_65_65",
+                         "start_time": 0.0, "end_time": 40 / 15},
+        })
+    out_dir = tmp_path / "out"
+    mean_dir_vec = np.zeros(126, np.float32)  # selects expressive layout
+    pp = DataPreprocessor(clip_dir, out_dir, n_poses=34,
+                          subdivision_stride=10, pose_resampling_fps=15,
+                          mean_dir_vec=mean_dir_vec,
+                          convert_to_dir_vec=False)
+    with pytest.raises(ValueError, match="missing joints"):
+        pp.run()
+    assert not out_dir.exists()
