@@ -241,21 +241,15 @@ def get_baseline() -> float | None:
     return fps
 
 
-def bench_train_step(batch=128, compute_dtype="float32",
-                     update_order="d_first") -> dict:
-    """GAN train_step (G+D updates) steps/s at the flagship config.
-    `compute_dtype="bfloat16"` benches the mixed-precision policy
-    (fp32 master params/optimizer, bf16 forward/backward);
-    `update_order="g_first"` the shared-forward ordering."""
+def _train_bench_at(batch, cfg, iters=10, rounds=3, warmup=2):
+    """(seconds/step, cost-model FLOPs/step) for the GAN train_step at
+    one batch size, honest harness (checksum fetched inside the clock)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from emotiongestures_tpu.train import gan
-    from emotiongestures_tpu.train.state import TrainState
 
-    cfg = gan.GANConfig(n_words=N_WORDS, compute_dtype=compute_dtype,
-                        update_order=update_order)
     gs, ds = gan.create_states(cfg, jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     batch_d = {
@@ -264,35 +258,68 @@ def bench_train_step(batch=128, compute_dtype="float32",
         "pose_seq": jnp.asarray(rng.randn(batch, FRAMES, 282), jnp.float32),
         "eid_label": jax.nn.one_hot(jnp.arange(batch) % 8, 8),
     }
+    # cost-model FLOPs from the composite G+D update — lower BEFORE the
+    # first execution (train_step donates the states)
+    flops = _cost_flops(
+        gan.train_step.lower(gs, ds, batch_d, jax.random.PRNGKey(1), cfg,
+                             use_disc=True).compile())
 
-    # train_step donates its states; keep a jitted wrapper that threads them
-    def step_fn(gs: TrainState, ds: TrainState, key):
+    def step_fn(gs, ds, key):
         return gan.train_step(gs, ds, batch_d, key, cfg, use_disc=True)
 
-    # warmup/compile
-    gs, ds, m = step_fn(gs, ds, jax.random.PRNGKey(1))
-    flops = None  # composite; skip cost model
+    gs, ds, m = step_fn(gs, ds, jax.random.PRNGKey(1))  # warmup/compile
 
     def step(i):
         nonlocal gs, ds
         gs, ds, m = step_fn(gs, ds, jax.random.PRNGKey(i))
         return m["g_loss"] + m["d_loss"]
 
-    dt = timed_rounds(step, iters=10, rounds=3, warmup=2)
+    dt = timed_rounds(step, iters=iters, rounds=rounds, warmup=warmup)
+    return dt, flops
+
+
+def bench_train_step(batch=128, compute_dtype="float32",
+                     update_order="d_first", remat_audio=False) -> dict:
+    """GAN train_step (G+D updates) steps/s at the flagship config, with
+    the same honesty guards as the flagship bench (VERDICT r2 item 5):
+    cost-model FLOPs -> implied TFLOP/s, MFU asserted < chip peak, and
+    latency asserted to grow with batch (2x batch must cost >1.5x).
+    `compute_dtype="bfloat16"` benches the mixed-precision policy
+    (fp32 master params/optimizer, bf16 forward/backward);
+    `update_order="g_first"` the shared-forward ordering."""
+    from emotiongestures_tpu.train import gan
+
+    cfg = gan.GANConfig(n_words=N_WORDS, compute_dtype=compute_dtype,
+                        update_order=update_order, remat_audio=remat_audio)
+    dt, flops = _train_bench_at(batch, cfg)
+    dt2, _ = _train_bench_at(batch * 2, cfg, iters=5, rounds=2, warmup=1)
+    ratio = dt2 / dt
+    assert ratio > 1.5, (
+        f"train latency flat across batch {batch}->{batch * 2} "
+        f"(x{ratio:.2f}): measuring dispatch, not compute")
+    implied = flops / dt if flops else None
+    mfu = implied / BF16_PEAK_FLOPS if implied else None
+    if mfu is not None:
+        assert mfu < 1.0, (
+            f"implied {implied / 1e12:.1f} TFLOP/s exceeds chip peak: "
+            "measurement is broken")
     print(f"[bench] train_step[{compute_dtype},{update_order}]: "
-          f"{dt * 1e3:.1f} ms/step "
-          f"at batch {batch} ({batch / dt:.0f} samples/s)", file=sys.stderr)
+          f"{dt * 1e3:.1f} ms/step at batch {batch} "
+          f"({batch / dt:.0f} samples/s; batch x2 -> x{ratio:.2f} latency)"
+          + (f"; {flops / 1e9:.1f} GFLOP/step -> {implied / 1e12:.1f} "
+             f"TFLOP/s, MFU {mfu * 100:.1f}% of bf16 peak" if flops
+             else "; no cost model"),
+          file=sys.stderr)
     return {"ms_per_step": dt * 1e3, "batch": batch,
-            "samples_per_sec": batch / dt, "flops": flops,
+            "samples_per_sec": batch / dt,
+            "batch_scaling_x2": round(ratio, 2),
+            "implied_tflops": round(implied / 1e12, 2) if implied else None,
+            "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
             "compute_dtype": compute_dtype, "update_order": update_order}
 
 
-def bench_eval_pipeline(batch=1024, precision="float32") -> dict:
-    """Device side of the eval CLI hot loop (test_...py:191-248): CVAE
-    sample + generator + FGD features (pred & target) + skeleton-classifier
-    logits + MPJRE/L2 reductions, one jitted step at batch 1024.
-    `precision="bfloat16"` = the eval CLI's --precision bfloat16 mode:
-    generator+CVAE in bf16, metric nets fp32."""
+def _build_eval_pipeline(batch, precision="float32"):
+    """(step, flops) for the eval device pipeline at one batch size."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -353,15 +380,43 @@ def bench_eval_pipeline(batch=1024, precision="float32") -> dict:
     def step(i):
         return eval_batch(*args, jax.random.PRNGKey(i))
 
+    return step, flops
+
+
+def bench_eval_pipeline(batch=1024, precision="float32") -> dict:
+    """Device side of the eval CLI hot loop (test_...py:191-248): CVAE
+    sample + generator + FGD features (pred & target) + skeleton-classifier
+    logits + MPJRE/L2 reductions, one jitted step at batch 1024, with the
+    flagship bench's honesty guards (VERDICT r2 item 5): cost-model FLOPs
+    -> implied TFLOP/s, MFU asserted < chip peak, latency asserted to grow
+    with batch. `precision="bfloat16"` = the eval CLI's --precision
+    bfloat16 mode: generator+CVAE in bf16, metric nets fp32."""
+    small = max(batch // 8, 1)
+    small_step, _ = _build_eval_pipeline(small, precision)
+    dt_small = timed_rounds(small_step, iters=10, rounds=3, warmup=2)
+    step, flops = _build_eval_pipeline(batch, precision)
     dt = timed_rounds(step, iters=10, rounds=3, warmup=2)
+    ratio = dt / dt_small
+    assert ratio > 2.0, (
+        f"eval latency flat across batch {small}->{batch} "
+        f"(x{ratio:.2f}): measuring dispatch, not compute")
     implied = flops / dt if flops else None
+    mfu = implied / BF16_PEAK_FLOPS if implied else None
+    if mfu is not None:
+        assert mfu < 1.0, (
+            f"implied {implied / 1e12:.1f} TFLOP/s exceeds chip peak: "
+            "measurement is broken")
     print(f"[bench] eval pipeline[{precision}]: {dt * 1e3:.1f} "
-          f"ms/batch{batch} ({batch * FRAMES / dt / 1e3:.0f}k frames/s)"
-          + (f", {implied / 1e12:.1f} TFLOP/s" if implied else ""),
+          f"ms/batch{batch} ({batch * FRAMES / dt / 1e3:.0f}k frames/s; "
+          f"{dt_small * 1e3:.1f} ms/batch{small}, x{ratio:.1f})"
+          + (f", {implied / 1e12:.1f} TFLOP/s, MFU {mfu * 100:.1f}%"
+             if implied else ""),
           file=sys.stderr)
     return {"ms_per_batch": dt * 1e3, "batch": batch,
             "frames_per_sec": batch * FRAMES / dt,
+            "batch_scaling_x8": round(ratio, 2),
             "implied_tflops": round(implied / 1e12, 2) if implied else None,
+            "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
             "precision": precision}
 
 
@@ -369,9 +424,17 @@ def main():
     if "--train" in sys.argv:
         cdtype = "bfloat16" if "--bf16" in sys.argv else "float32"
         order = "g_first" if "--g-first" in sys.argv else "d_first"
+        batch = 128
+        for a in sys.argv:
+            if a.startswith("--batch="):
+                batch = int(a.split("=")[1])
         print(json.dumps({"mode": "train_step",
-                          **bench_train_step(compute_dtype=cdtype,
-                                             update_order=order)}))
+                          **bench_train_step(batch=batch,
+                                             compute_dtype=cdtype,
+                                             update_order=order,
+                                             remat_audio="--remat"
+                                             in sys.argv),
+                          "remat_audio": "--remat" in sys.argv}))
         return
     if "--eval" in sys.argv:
         prec = "bfloat16" if "--bf16" in sys.argv else "float32"

@@ -55,6 +55,16 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["float32", "bfloat16"],
                         help="bfloat16 = MXU mixed precision (fp32 "
                              "masters, bf16 forward/backward)")
+    parser.add_argument("--num_devices", type=int, default=0,
+                        help="data-parallel device count: 0 = all visible "
+                             "devices (the reference's automatic "
+                             "DataParallel wrap, train_...py:129-130), "
+                             "N = exactly N chips; the global --batch_size "
+                             "is sharded over the mesh, params replicated")
+    parser.add_argument("--prefetch", type=int, default=2,
+                        help="host->device prefetch depth (the torch "
+                             "DataLoader workers+pin_memory role); 0 = "
+                             "synchronous batch assembly")
     return parser
 
 
@@ -75,6 +85,7 @@ class _ConcatDataset:
 
 
 def main(args=None):
+    from .. import parallel
     from ..data.synthetic import SyntheticGestureDataset
     from ..train import classifier
     from ..utils import save_checkpoint, set_logger
@@ -110,6 +121,11 @@ def main(args=None):
         logging.info("saved %s (fold %d epoch %d iter %d)",
                      path, fold + 1, epoch, it)
 
+    mesh = parallel.dp_setup(args.num_devices, args.batch_size)
+    if mesh is not None:
+        logging.info("data-parallel mesh: %s (global batch %d -> %d/chip)",
+                     dict(mesh.shape), args.batch_size,
+                     args.batch_size // mesh.shape["data"])
     results = classifier.train_k_fold(
         full, test,
         batch_size=args.batch_size,
@@ -120,6 +136,8 @@ def main(args=None):
         max_folds=args.max_folds,
         checkpoint_fn=checkpoint_fn,
         compute_dtype=args.compute_dtype,
+        mesh=mesh,
+        prefetch=args.prefetch,
     )
     for r in results:
         logging.info("Fold %d: Test Accuracy %.2f%%", r["fold"] + 1,

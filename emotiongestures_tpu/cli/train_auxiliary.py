@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
                         default="./checkpoints/auxiliary/")
     parser.add_argument("--generator_checkpoint", type=str, default=None,
                         help="frozen generator for CVAE feature extraction")
+    parser.add_argument("--d_model", type=int, default=512,
+                        help="generator width — must match the checkpoint "
+                             "for --model cvae; also the CVAE feat_dim")
+    parser.add_argument("--latent_dim", type=int, default=2048,
+                        help="generator d_inner / skeleton-classifier "
+                             "d_inner — match the eval CLI's --latent_dim")
+    parser.add_argument("--gen_layers", type=int, default=3)
     parser.add_argument("--train_data_path", type=str,
                         default="./data/beat_trainable_dataset/train/")
     parser.add_argument("--input_context", type=str, default="text")
@@ -56,7 +63,9 @@ def _emotion_features(args, batch, n_words: int):
     from ..utils import load_checkpoint
 
     gen = GestureTransformer(n_words=n_words, frames=args.n_poses,
-                             pose_dim=args.pose_dim)
+                             pose_dim=args.pose_dim, d_model=args.d_model,
+                             d_inner=args.latent_dim,
+                             n_layers=args.gen_layers)
     spec = jnp.zeros((1, 128, 124), jnp.float32)
     text = jnp.zeros((1, args.n_poses), jnp.int32)
     prior = jnp.zeros((1, 10, args.pose_dim), jnp.float32)
@@ -117,13 +126,17 @@ def main(args=None):
         step = lambda st, batch, rng: fgd_train.train_step(
             st, batch["pose_seq"], rng)
     elif args.model == "skeleton":
+        # d_model stays 512 (the eval CLI always builds the skeleton
+        # classifier at 512); d_inner follows --latent_dim like the eval
         state = skeleton_train.create_state(key, lr=args.lr,
-                                            pose_dim=args.pose_dim)
+                                            pose_dim=args.pose_dim,
+                                            d_inner=args.latent_dim)
         step = lambda st, batch, rng: skeleton_train.train_step(
             st, batch["pose_seq"], batch["eid_label"], rng)
     else:
         state = cvae_train.create_state(key, lr=args.lr,
-                                        version=args.cvae_version)
+                                        version=args.cvae_version,
+                                        feat_dim=args.d_model)
         feat_fn = _emotion_features(args, None, n_words)
 
         def step(st, batch, rng):

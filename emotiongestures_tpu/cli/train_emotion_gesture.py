@@ -49,21 +49,48 @@ def build_parser() -> argparse.ArgumentParser:
                              "both updates (G adv term sees the pre-update "
                              "D) — see train/gan.py; measured speedup in "
                              "BASELINE.md")
+    # --num_devices / --prefetch are inherited from the shared eval
+    # parser (train semantics: the global --batch_size shards over the
+    # data mesh, params/optimizer replicated — reference DataParallel,
+    # train_...py:129-130)
+    # multi-host (SURVEY §2.6 "multi-host via jax.distributed over DCN"):
+    # run one process per host with the same command plus these flags; on
+    # TPU pods they are auto-detected (pass --num_processes alone to
+    # opt in). Each process loads only ITS slice of the global batch.
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 (multi-host runs)")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="total process count for jax.distributed")
+    parser.add_argument("--process_id", type=int, default=None)
     return parser
 
 
 def main(args=None):
+    from .. import parallel
     from ..core.schedules import staged_lr
+    from ..data.pipeline import Prefetcher
     from ..train import gan
     from ..utils import load_checkpoint, save_checkpoint, set_logger
     from ..utils.logging import MetricLogger
 
     if args is None:
         args = build_parser().parse_args()
+    multihost = (args.coordinator_address is not None
+                 or args.num_processes is not None)
+    if multihost:
+        # must run BEFORE anything initialises the local backend
+        from ..parallel import distributed
+
+        proc_idx, proc_cnt = distributed.initialize(
+            args.coordinator_address, args.num_processes, args.process_id)
     set_logger(args.model_save_path,
                os.path.basename(__file__).replace(".py", ".log"))
     logging.info("JAX devices: %s", jax.devices())
     logging.info(pprint.pformat(vars(args)))
+    if multihost:
+        logging.info("multi-host: process %d/%d, %d local of %d global "
+                     "devices", proc_idx, proc_cnt,
+                     len(jax.local_devices()), jax.device_count())
 
     if args.synthetic:
         from ..data.synthetic import SyntheticGestureDataset
@@ -101,6 +128,16 @@ def main(args=None):
         update_order=args.update_order)
     gen_state, disc_state = gan.create_states(cfg, jax.random.PRNGKey(
         args.seed))
+    if multihost:
+        from ..parallel import distributed
+
+        mesh = distributed.global_mesh()
+        if args.batch_size % mesh.shape["data"]:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must divide over the "
+                f"{mesh.shape['data']}-device global mesh")
+    else:
+        mesh = parallel.dp_setup(args.num_devices, args.batch_size)
     if args.resume:
         gen_state, ok = load_checkpoint(
             gen_state, os.path.join(args.model_save_path, "generator"))
@@ -108,6 +145,67 @@ def main(args=None):
             disc_state, os.path.join(args.model_save_path, "discriminator"))
         if ok:
             logging.info("resumed from step %d", int(gen_state.step))
+    if mesh is not None:
+        # GSPMD data parallel: params/optimizer replicated, global batch
+        # sharded on the mesh's `data` axis; the jitted train_step is
+        # unchanged — XLA inserts the gradient all-reduce over ICI (and
+        # DCN across hosts in multi-host runs); semantics proven identical
+        # to single-device by
+        # tests/test_parallel.py::test_dp_gan_train_step_matches_single_device
+        if multihost:
+            from ..parallel import distributed
+
+            gen_state = distributed.replicate_to_global(gen_state, mesh)
+            disc_state = distributed.replicate_to_global(disc_state, mesh)
+        else:
+            gen_state = parallel.replicate_state(gen_state, mesh)
+            disc_state = parallel.replicate_state(disc_state, mesh)
+        logging.info("data-parallel mesh: %s (global batch %d -> %d/chip)",
+                     dict(mesh.shape), args.batch_size,
+                     args.batch_size // mesh.shape["data"])
+
+    _KEYS = ("spectrogram", "text", "pose_seq", "eid_label")
+    sharding = parallel.batch_sharding(mesh) if mesh is not None else None
+    if multihost:
+        from ..parallel import distributed
+
+        proc_rows = distributed.process_batch_slice(args.batch_size)
+        place = lambda v: distributed.host_local_batch(v[proc_rows], mesh)
+    else:
+        place = None
+
+    def epoch_batches(epoch):
+        """Stream batches through the host prefetcher: assembly + H2D
+        transfer (sharded over the mesh when data-parallel) overlap with
+        the device step — the torch DataLoader workers+pin_memory role
+        (train_...py:121-124). Multi-host: each process keeps only its
+        `process_batch_slice` rows and the global array is assembled via
+        make_array_from_process_local_data."""
+        raw = ({k: b[k] for k in _KEYS}
+               for b in dataset.batches(args.batch_size, shuffle=True,
+                                        seed=args.seed + epoch))
+        if args.prefetch > 0:
+            return Prefetcher(raw, buffer_size=args.prefetch,
+                              sharding=sharding, place=place)
+        if place is not None:
+            return ({k: place(v) for k, v in b.items()} for b in raw)
+        return raw
+
+    # multi-host: only process 0 writes checkpoints (all processes hold
+    # identical replicated states)
+    if multihost:
+        from ..parallel.distributed import is_primary
+
+        save_ok = is_primary()
+    else:
+        save_ok = True
+
+    def save_all():
+        if save_ok:
+            save_checkpoint(gen_state, os.path.join(
+                args.model_save_path, "generator"))
+            save_checkpoint(disc_state, os.path.join(
+                args.model_save_path, "discriminator"))
 
     ladder = staged_lr(args.lr)
     metrics_log = MetricLogger(
@@ -119,15 +217,11 @@ def main(args=None):
         # cfg.steps_per_epoch (train/gan.py); logged here for visibility
         lr_now = float(ladder(epoch))
         use_disc = epoch >= args.pose_dis_warm_epoch
-        for batch in dataset.batches(args.batch_size, shuffle=True,
-                                     seed=args.seed + epoch):
+        for batch in epoch_batches(epoch):
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1),
                                      global_iter)
             gen_state, disc_state, metrics = gan.train_step(
-                gen_state, disc_state,
-                {k: batch[k] for k in ("spectrogram", "text", "pose_seq",
-                                       "eid_label")},
-                rng, cfg, use_disc=use_disc)
+                gen_state, disc_state, batch, rng, cfg, use_disc=use_disc)
             global_iter += 1
             if global_iter % 10 == 0:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -137,16 +231,11 @@ def main(args=None):
                     epoch, global_iter, lr_now, m["g_loss"], m["g_rec"],
                     m["g_emo"], m["g_con"], m["g_adv"], m["d_loss"],
                     time.time() - start)
-                metrics_log.log(global_iter, **m)
+                if save_ok:  # one metrics stream per run, not per process
+                    metrics_log.log(global_iter, **m)
             if global_iter % args.save_every == 0:
-                save_checkpoint(gen_state, os.path.join(
-                    args.model_save_path, "generator"))
-                save_checkpoint(disc_state, os.path.join(
-                    args.model_save_path, "discriminator"))
-    save_checkpoint(gen_state,
-                    os.path.join(args.model_save_path, "generator"))
-    save_checkpoint(disc_state,
-                    os.path.join(args.model_save_path, "discriminator"))
+                save_all()
+    save_all()
     logging.info("done: %d iters in %.1fs", global_iter,
                  time.time() - start)
     return gen_state, disc_state

@@ -26,22 +26,28 @@ class Prefetcher:
     _DONE = object()
 
     def __init__(self, batches: Iterator[dict], buffer_size: int = 2,
-                 device=None, sharding=None):
+                 device=None, sharding=None, host_keys=(), place=None):
         self.batches = batches
         self.device = device
         self.sharding = sharding
+        self.host_keys = frozenset(host_keys)  # stay numpy (host-side use)
+        # `place(value) -> on-device value` overrides the default
+        # device_put (e.g. multi-host global-array assembly)
+        self.place = place
         self.q: queue.Queue = queue.Queue(maxsize=buffer_size)
         self._err: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._started = False
 
     def _put(self, batch):
-        target = self.sharding or self.device
-        if target is not None:
-            batch = {k: jax.device_put(v, target) for k, v in batch.items()}
+        if self.place is not None:
+            put = self.place
         else:
-            batch = {k: jax.device_put(v) for k, v in batch.items()}
-        self.q.put(batch)
+            target = self.sharding or self.device
+            put = (lambda v: jax.device_put(v, target)) \
+                if target is not None else jax.device_put
+        self.q.put({k: v if k in self.host_keys else put(v)
+                    for k, v in batch.items()})
 
     def _worker(self):
         try:

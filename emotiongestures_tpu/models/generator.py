@@ -52,12 +52,14 @@ class AudioResNetEncoder(nn.Module):
 
     frames: int = 60
     d_model: int = 512
+    remat_blocks: bool = False  # jax.checkpoint per residual block
 
     @nn.compact
     def __call__(self, spec, train: bool = False):
         B = spec.shape[0]
         x = spec[..., None]  # NHWC, channel dim = 1
         x = ResNetSE(layers=[3, 4, 6], num_filters=[32, 64, 128],
+                     remat_blocks=self.remat_blocks,
                      name="feat_extractor")(x, train=train)
         x = Conv(self.frames, (3, 3), padding=1, name="final_conv1")(x)
         x = BatchNorm(use_running_average=not train, name="bn1")(x)
@@ -374,6 +376,11 @@ class GestureTransformer(nn.Module):
     # route eval-mode attention sublayers through the fused Pallas kernel
     # (ops/pallas_attention.py); identical params & math, serving-only win
     fused_attention: bool = False
+    # jax.checkpoint each SE-ResNet block of the audio encoder: backward
+    # recomputes intra-block activations instead of keeping the stage-1
+    # (B, 128, 124, 32) tensors live — trades FLOPs for train-batch
+    # headroom (measured accept/reject in BASELINE.md round 3)
+    remat_audio: bool = False
 
     @nn.compact
     def __call__(self, spec, text, prior_seq, sampled_emotion_feature=None,
@@ -388,7 +395,8 @@ class GestureTransformer(nn.Module):
         )(text, train=train)
 
         spectrum_feature = AudioResNetEncoder(
-            self.frames, self.d_model, name="audio_encoder"
+            self.frames, self.d_model, remat_blocks=self.remat_audio,
+            name="audio_encoder"
         )(spec, train=train)
 
         if self.variant == "base":

@@ -136,6 +136,14 @@ class ResNetSE(nn.Module):
     SLOWER than the unrolled one (the conv autotuner dominates compile
     time, not graph size), so unrolled stays the default; the option
     remains for much deeper future stacks.
+
+    `remat_blocks=True` wraps every residual block in `nn.remat`
+    (jax.checkpoint): the backward pass recomputes each block's
+    intra-block activations instead of keeping them live, cutting the
+    training peak-memory contribution of the early high-resolution stages
+    (stage 1 holds (B, 128, 124, 32) fp32/bf16 tensors per conv — the
+    batch-2048 OOM driver, BASELINE.md). Measured cost/benefit in
+    BASELINE.md round 3; off by default.
     """
 
     layers: Sequence[int]
@@ -143,9 +151,11 @@ class ResNetSE(nn.Module):
     block: Type[nn.Module] = SEBasicBlock
     reduction: int = 8
     scan_blocks: bool = False
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):  # x: (B, H, W, 1)
+        block_cls = nn.remat(self.block) if self.remat_blocks else self.block
         x = Conv(self.num_filters[0], (3, 3), padding=1,
                  kernel_init=winit.kaiming_normal_fan_out, name="conv1")(x)
         x = nn.relu(x)
@@ -158,7 +168,7 @@ class ResNetSE(nn.Module):
             stride = 1 if stage == 0 else 2
             needs_down = stride != 1 or \
                 inplanes != planes * self.block.expansion
-            x = self.block(
+            x = block_cls(
                 planes, stride=stride, has_downsample=needs_down,
                 reduction=self.reduction, train=train,
                 name=f"layer{stage + 1}_block0",
@@ -176,7 +186,7 @@ class ResNetSE(nn.Module):
                     x, _ = scanned(x, None)
                 else:
                     for b in range(1, blocks):
-                        x = self.block(
+                        x = block_cls(
                             planes, stride=1, has_downsample=False,
                             reduction=self.reduction, train=train,
                             name=f"layer{stage + 1}_block{b}",

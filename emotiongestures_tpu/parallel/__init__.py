@@ -1,7 +1,12 @@
+from . import distributed  # noqa: F401
 from .mesh import (  # noqa: F401
-    make_mesh,
-    shard_batch,
-    replicate,
-    tp_param_shardings,
     apply_shardings,
+    batch_sharding,
+    dp_setup,
+    make_mesh,
+    replicate,
+    replicate_state,
+    resolve_num_devices,
+    shard_batch,
+    tp_param_shardings,
 )

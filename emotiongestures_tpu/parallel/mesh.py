@@ -39,6 +39,53 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(devs, axis_names=("data", "model"))
 
 
+def replicate_state(state, mesh: Mesh):
+    """Replicate a TrainState's array fields over the mesh (the GSPMD
+    equivalent of DataParallel's model replication,
+    train_audio_classifier_K_fold.py:129-130)."""
+    return state.replace(
+        params=replicate(state.params, mesh),
+        batch_stats=replicate(state.batch_stats, mesh),
+        opt_state=replicate(state.opt_state, mesh),
+    )
+
+
+def resolve_num_devices(num_devices: int) -> int:
+    """CLI `--num_devices` semantics: 0 = auto (all visible devices —
+    the reference's automatic `if torch.cuda.device_count() > 1` wrap),
+    N>0 = exactly N (error if unavailable)."""
+    avail = len(jax.devices())
+    if num_devices == 0:
+        return avail
+    if num_devices > avail:
+        raise SystemExit(
+            f"--num_devices {num_devices} requested but only {avail} "
+            f"device(s) visible ({jax.devices()}); for CPU-mesh testing "
+            "set XLA_FLAGS=--xla_force_host_platform_device_count=N "
+            "before python starts")
+    return num_devices
+
+
+def dp_setup(num_devices: int, batch_size: int):
+    """Build the data-parallel mesh for a train CLI (None when the run is
+    single-device). Validates the global batch divides over the mesh."""
+    n = resolve_num_devices(num_devices)
+    if n <= 1:
+        return None
+    if batch_size % n:
+        raise SystemExit(
+            f"--batch_size {batch_size} must be divisible by the "
+            f"{n}-device data mesh")
+    return make_mesh(n_data=n)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Rank-agnostic leading-axis sharding for host->device batch
+    placement (PartitionSpec shorter than the rank leaves trailing dims
+    replicated)."""
+    return NamedSharding(mesh, P("data"))
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a pytree of (B, ...) arrays with B sharded over `data`."""
     def put(x):

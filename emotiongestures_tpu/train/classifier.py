@@ -139,6 +139,30 @@ def k_fold_indices(n: int, n_splits: int = 10, seed: int = 0):
         yield train, val
 
 
+def _index_batches(dataset, indices, batch_size: int):
+    """Yield {"spectrogram", "eid_label"} batches over `indices`."""
+    for i in range(0, len(indices) - batch_size + 1, batch_size):
+        samples = [dataset[int(j)] for j in indices[i : i + batch_size]]
+        yield {
+            "spectrogram": np.stack([s["spectrogram"] for s in samples]),
+            "eid_label": np.stack([s["eid_label"] for s in samples]),
+        }
+
+
+def _batch_stream(dataset, indices, batch_size: int, mesh, prefetch: int):
+    """Batch iterator, optionally prefetched + mesh-sharded (the torch
+    DataLoader workers+pin_memory role, train_...py:121-124)."""
+    raw = _index_batches(dataset, indices, batch_size)
+    if prefetch <= 0:
+        return raw
+    from ..data.pipeline import Prefetcher
+    from ..parallel import batch_sharding
+
+    return Prefetcher(raw, buffer_size=prefetch,
+                      sharding=batch_sharding(mesh) if mesh is not None
+                      else None)
+
+
 def train_k_fold(
     dataset,
     test_dataset,
@@ -151,9 +175,16 @@ def train_k_fold(
     max_folds: Optional[int] = None,
     checkpoint_fn=None,
     compute_dtype: str = "float32",
+    mesh=None,
+    prefetch: int = 2,
 ):
     """Host-side K-fold driver mirroring train_...py:109-204. Returns the
-    per-fold final test accuracies."""
+    per-fold final test accuracies.
+
+    `mesh`: a (data,)-axis jax Mesh for GSPMD data parallelism — the
+    reference wraps the model in DataParallel when >1 GPU is visible
+    (train_...py:129-130); here the state is replicated and the global
+    batch sharded over the mesh, with the same jitted train_step."""
     log = logging.getLogger("emotiongestures_tpu.classifier")
     results = []
     for fold, (train_idx, val_idx) in enumerate(
@@ -162,6 +193,10 @@ def train_k_fold(
         if max_folds is not None and fold >= max_folds:
             break
         state = create_state(jax.random.PRNGKey(seed + fold), lr=lr)
+        if mesh is not None:
+            from ..parallel import replicate_state
+
+            state = replicate_state(state, mesh)
         global_iter = 0
         for epoch in range(epochs):
             # epoch-level class re-weighting over this fold's train split
@@ -170,17 +205,16 @@ def train_k_fold(
             alpha = class_alpha(all_labels)
             order = np.random.RandomState(seed + epoch).permutation(
                 train_idx)
-            for i in range(0, len(order) - batch_size + 1, batch_size):
-                batch_ids = order[i : i + batch_size]
-                samples = [dataset[int(j)] for j in batch_ids]
-                spec = np.stack([s["spectrogram"] for s in samples])
-                labels = np.stack([s["eid_label"] for s in samples])
-                state, metrics = train_step(state, spec, labels, alpha,
-                                            compute_dtype=compute_dtype)
+            for batch in _batch_stream(dataset, order, batch_size, mesh,
+                                       prefetch):
+                state, metrics = train_step(
+                    state, batch["spectrogram"], batch["eid_label"], alpha,
+                    compute_dtype=compute_dtype)
                 global_iter += 1
                 if global_iter % eval_every == 0:
                     val_acc = evaluate(state, dataset, val_idx, batch_size,
-                                       compute_dtype)
+                                       compute_dtype, mesh=mesh,
+                                       prefetch=prefetch)
                     log.info(
                         "Fold %d, Epoch %d, iter %d, loss %.4f, "
                         "Val Accuracy: %.2f%%",
@@ -190,7 +224,8 @@ def train_k_fold(
                     if checkpoint_fn is not None:
                         checkpoint_fn(state, fold, epoch, global_iter)
         test_acc, cm = test_model(state, test_dataset, batch_size,
-                                  compute_dtype)
+                                  compute_dtype, mesh=mesh,
+                                  prefetch=prefetch)
         log.info("Fold %d Test Accuracy: %.2f%%", fold + 1, test_acc)
         results.append({"fold": fold, "test_acc": test_acc,
                         "confusion": cm, "state": state})
@@ -198,29 +233,28 @@ def train_k_fold(
 
 
 def evaluate(state, dataset, indices, batch_size: int,
-             compute_dtype: str = "float32") -> float:
+             compute_dtype: str = "float32", mesh=None,
+             prefetch: int = 2) -> float:
     accs = []
-    for i in range(0, len(indices) - batch_size + 1, batch_size):
-        samples = [dataset[int(j)] for j in indices[i : i + batch_size]]
-        spec = np.stack([s["spectrogram"] for s in samples])
-        labels = np.stack([s["eid_label"] for s in samples])
-        acc, _, _ = eval_step(state, spec, labels,
+    for batch in _batch_stream(dataset, indices, batch_size, mesh,
+                               prefetch):
+        acc, _, _ = eval_step(state, batch["spectrogram"],
+                              batch["eid_label"],
                               compute_dtype=compute_dtype)
         accs.append(float(acc))
     return float(np.mean(accs)) if accs else 0.0
 
 
 def test_model(state, dataset, batch_size: int,
-               compute_dtype: str = "float32"):
+               compute_dtype: str = "float32", mesh=None,
+               prefetch: int = 2):
     """Test pass with confusion matrix (train_...py:206-255)."""
     accs = []
     cm = np.zeros((8, 8), dtype=np.int64)
-    n = len(dataset)
-    for i in range(0, n - batch_size + 1, batch_size):
-        samples = [dataset[int(j)] for j in range(i, i + batch_size)]
-        spec = np.stack([s["spectrogram"] for s in samples])
-        labels = np.stack([s["eid_label"] for s in samples])
-        acc, preds, lab = eval_step(state, spec, labels,
+    for batch in _batch_stream(dataset, np.arange(len(dataset)),
+                               batch_size, mesh, prefetch):
+        acc, preds, lab = eval_step(state, batch["spectrogram"],
+                                    batch["eid_label"],
                                     compute_dtype=compute_dtype)
         accs.append(float(acc))
         cm += confusion_matrix(preds, lab)

@@ -19,15 +19,22 @@ from ..models import EmotionCVAEv3
 from .state import TrainState, create_train_state, model_variables
 
 
-def create_state(key, lr: float = 2e-4, version: int = 3) -> TrainState:
+def create_state(key, lr: float = 2e-4, version: int = 3,
+                 feat_dim: int = 512) -> TrainState:
+    """`feat_dim` must match the generator's d_model (the features are its
+    emotion_proj outputs); v1/v2 are feat_dim-agnostic MLPs, v3's conv
+    stack is built for the given width."""
     from ..models import EmotionCVAEv1, EmotionCVAEv2
 
-    cls = {1: EmotionCVAEv1, 2: EmotionCVAEv2, 3: EmotionCVAEv3}[version]
-    model = cls()
+    if version == 3:
+        model = EmotionCVAEv3(feat_dim=feat_dim)
+    else:
+        model = {1: EmotionCVAEv1, 2: EmotionCVAEv2}[version]()
     kp, ks = jax.random.split(key)
     variables = model.init(
         {"params": kp, "sample": ks},
-        jnp.zeros((1, 60, 512), jnp.float32), jnp.zeros((1, 8), jnp.float32),
+        jnp.zeros((1, 60, feat_dim), jnp.float32),
+        jnp.zeros((1, 8), jnp.float32),
     )
     tx = schedules.adam(lr=lr, b1=0.5, b2=0.999, weight_decay=0.0)
     return create_train_state(model, variables, tx)

@@ -101,6 +101,10 @@ class GANConfig:
     # fp32 master params/optimizer, bf16 forward/backward — see module
     # docstring)
     compute_dtype: str = "float32"
+    # jax.checkpoint the audio SE-ResNet blocks (backward recomputes
+    # intra-block activations): train-batch-headroom lever for the
+    # activation-dominated stage-1 memory peak; measured in BASELINE.md
+    remat_audio: bool = False
 
 
 def build_models(cfg: GANConfig):
@@ -109,6 +113,7 @@ def build_models(cfg: GANConfig):
         prior_frames=cfg.prior_frames, d_model=cfg.d_model,
         d_inner=cfg.d_inner, n_layers=cfg.n_layers, n_head=cfg.n_head,
         d_k=cfg.d_k, d_v=cfg.d_v, variant=cfg.variant,
+        remat_audio=cfg.remat_audio,
     )
     disc = MotionDiscriminator(frames=cfg.frames - 1, pose_dim=cfg.pose_dim,
                                d_model=cfg.pose_dim)

@@ -128,3 +128,46 @@ def test_weight_norm_initial_identity(rng):
     np.testing.assert_allclose(
         g, np.linalg.norm(v.reshape(-1, 4), axis=0), rtol=1e-6
     )
+
+
+def test_resnet_se_remat_blocks_parity(rng):
+    """remat_blocks must be a pure memory/scheduling option: identical
+    forward outputs, BN updates, and gradients (up to fp32 noise) vs the
+    unrolled module — jax.checkpoint recomputes, never changes math."""
+    import jax
+    import jax.numpy as jnp
+
+    from emotiongestures_tpu.nn.resnet_se import ResNetSE
+
+    x = jnp.asarray(rng.randn(2, 32, 30, 1), jnp.float32)
+    base = ResNetSE(layers=[2, 2], num_filters=[8, 16])
+    rem = ResNetSE(layers=[2, 2], num_filters=[8, 16], remat_blocks=True)
+    v = base.init(jax.random.PRNGKey(0), x, train=False)
+
+    def run(m):
+        def loss(p):
+            out, mut = m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, x,
+                train=True, mutable=["batch_stats"])
+            return jnp.sum(out ** 2), (out, mut["batch_stats"])
+
+        (l, (out, bs)), g = jax.value_and_grad(loss, has_aux=True)(
+            v["params"])
+        return l, out, bs, g
+
+    l0, out0, bs0, g0 = run(base)
+    l1, out1, bs1, g1 = run(rem)
+    # jax.checkpoint changes fusion/reassociation order, so allow fp32
+    # noise (~1e-6 relative observed); a semantic deviation would be
+    # orders of magnitude larger
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(bs0),
+                    jax.tree_util.tree_leaves(bs1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -279,3 +279,36 @@ def test_tp_generator_forward_matches_replicated(rng):
       shard_batch(prior, mesh))
     np.testing.assert_allclose(np.asarray(ref_out), np.asarray(tp_out),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_dp_classifier_train_matches_single_device(rng):
+    """The K-fold classifier's jitted train_step under GSPMD DP must match
+    single-device execution (the CLI wires this path via --num_devices;
+    full-shape CLI-level compiles are too slow for CPU, so parity is
+    pinned here at a small spectrogram)."""
+    from emotiongestures_tpu.train import classifier
+
+    spec = rng.randn(16, 32, 30).astype(np.float32)
+    labels = np.eye(8, dtype=np.float32)[np.arange(16) % 8]
+    alpha = np.ones(8, np.float32)
+
+    s1 = classifier.create_state(jax.random.PRNGKey(0),
+                                 spec_shape=(1, 32, 30))
+    s1, m1 = classifier.train_step(s1, jnp.asarray(spec),
+                                   jnp.asarray(labels), alpha)
+
+    mesh = make_mesh()
+    s2 = classifier.create_state(jax.random.PRNGKey(0),
+                                 spec_shape=(1, 32, 30))
+    s2 = s2.replace(params=replicate(s2.params, mesh),
+                    batch_stats=replicate(s2.batch_stats, mesh),
+                    opt_state=replicate(s2.opt_state, mesh))
+    s2, m2 = classifier.train_step(s2, shard_batch(jnp.asarray(spec), mesh),
+                                   shard_batch(jnp.asarray(labels), mesh),
+                                   alpha)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-4)
+    assert float(m1["acc"]) == float(m2["acc"])
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 5e-3
