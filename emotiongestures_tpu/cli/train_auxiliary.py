@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--save_every", type=int, default=100)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--num_devices", type=int, default=0,
+                        help="data-parallel device count (0 = all visible "
+                             "devices); same GSPMD semantics as the other "
+                             "train CLIs")
+    parser.add_argument("--prefetch", type=int, default=2,
+                        help="host->device prefetch depth; 0 = synchronous")
     return parser
 
 
@@ -145,12 +151,33 @@ def main(args=None):
             return cvae_train.train_step(st, feats, batch["eid_label"],
                                          rng, beta=args.kl_beta)
 
+    from .. import parallel
+    from ..data.pipeline import Prefetcher
+
+    mesh = parallel.dp_setup(args.num_devices, args.batch_size)
+    if mesh is not None:
+        state = parallel.replicate_state(state, mesh)
+        logging.info("data-parallel mesh: %s", dict(mesh.shape))
+    sharding = parallel.batch_sharding(mesh) if mesh is not None else None
+    keys = {"fgd": ("pose_seq",),
+            "skeleton": ("pose_seq", "eid_label"),
+            "cvae": ("spectrogram", "text", "pose_seq", "eid_label")}[
+        args.model]
+
+    def epoch_batches(epoch):
+        raw = ({k: b[k] for k in keys}
+               for b in dataset.batches(args.batch_size, shuffle=True,
+                                        seed=args.seed + epoch))
+        if args.prefetch > 0:
+            return Prefetcher(raw, buffer_size=args.prefetch,
+                              sharding=sharding)
+        return raw
+
     global_iter = 0
     start = time.time()
     save_dir = os.path.join(args.model_save_path, args.model)
     for epoch in range(args.total_epoch):
-        for batch in dataset.batches(args.batch_size, shuffle=True,
-                                     seed=args.seed + epoch):
+        for batch in epoch_batches(epoch):
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1),
                                      global_iter)
             state, metrics = step(state, batch, rng)

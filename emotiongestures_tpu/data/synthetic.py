@@ -35,11 +35,26 @@ class SyntheticGestureDataset:
     seed: int = 0
     n_poses: int = N_POSES
     pose_dim: int = POSE_DIM
+    # samples are deterministic but cost a host mel-spectrogram each;
+    # cache up to this many (0 disables). 4096 samples ≈ 1.4 GB.
+    cache_size: int = 4096
+
+    def __post_init__(self):
+        self._cache: dict = {}
 
     def __len__(self):
         return self.n_samples
 
     def __getitem__(self, idx):
+        cached = self._cache.get(idx)
+        if cached is not None:
+            return cached
+        sample = self._make(idx)
+        if len(self._cache) < self.cache_size:
+            self._cache[idx] = sample
+        return sample
+
+    def _make(self, idx):
         rng = np.random.RandomState(self.seed * 100003 + idx)
         emotion = idx % N_EMOTIONS
 
@@ -58,13 +73,19 @@ class SyntheticGestureDataset:
         )
         spec = M._power_to_db_np(spec)[:, :SPEC_LEN].astype(np.float32)
 
-        # poses: class-dependent frequency/amplitude per joint + drift
+        # poses: class-dependent POSTURE (constant per-class joint-offset
+        # pattern — how real emotional gestures differ, and what the
+        # reference's flatten-MLP skeleton classifier can actually learn;
+        # a pure-frequency code is FFT-separable but starves that
+        # architecture) + class-dependent frequency/amplitude oscillation
         frames = np.arange(self.n_poses) / FPS
+        joint_idx = np.arange(1, self.pose_dim + 1)
+        posture = 0.08 * np.sin(joint_idx * (emotion + 1) * 0.7)
         joint_phase = rng.uniform(0, 2 * np.pi, self.pose_dim)
         joint_amp = 0.1 + 0.05 * (emotion / N_EMOTIONS) + 0.02 * rng.rand(
             self.pose_dim
         )
-        pose = joint_amp[None, :] * np.sin(
+        pose = posture[None, :] + joint_amp[None, :] * np.sin(
             2 * np.pi * beat_hz * frames[:, None] + joint_phase[None, :]
         )
         pose = pose + 0.01 * rng.randn(self.n_poses, self.pose_dim)

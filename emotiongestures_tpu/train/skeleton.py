@@ -13,13 +13,24 @@ from .state import TrainState, create_train_state, model_variables
 
 
 def create_state(key, lr: float = 3e-4, pose_dim: int = 282,
-                 d_model: int = 512, d_inner: int = 2048) -> TrainState:
+                 d_model: int = 512, d_inner: int = 2048,
+                 weight_decay: float = 0.0) -> TrainState:
+    """No weight decay by default. The reference ships no skeleton
+    trainer (this is a reconstruction); the wd=1e-5 convention copied
+    from its AUDIO-classifier script (train_...py:132) is torch-style
+    COUPLED L2, which under Adam gets second-moment-normalised into a
+    full ±lr pull toward zero on the flatten head's tiny-gradient
+    weights (fan-in 60*512) — measured on the synthetic set it pins the
+    classifier at chance indefinitely, while wd=0 reaches 100% train
+    accuracy in ~1.5k steps (round-3 ledger). Pass weight_decay
+    explicitly to restore the coupled-L2 behavior."""
     model = SkeletonTransformer(pose_dim=pose_dim, d_model=d_model,
                                 d_inner=d_inner)
     kp, kd = jax.random.split(key)
     variables = model.init({"params": kp, "dropout": kd},
                            jnp.zeros((1, 60, pose_dim), jnp.float32))
-    tx = schedules.adam(lr=lr, b1=0.5, b2=0.999, weight_decay=1e-5)
+    tx = schedules.adam(lr=lr, b1=0.5, b2=0.999,
+                        weight_decay=weight_decay)
     return create_train_state(model, variables, tx)
 
 
