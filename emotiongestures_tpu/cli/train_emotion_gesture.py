@@ -194,9 +194,31 @@ def main(args=None):
     # multi-host: only process 0 writes checkpoints (all processes hold
     # identical replicated states)
     if multihost:
-        from ..parallel.distributed import is_primary
+        from ..parallel.distributed import coordination_barrier, is_primary
 
         save_ok = is_primary()
+        # AOT-compile the train step on every process, THEN barrier: the
+        # first executed step initializes the cross-process collective
+        # cliques (gloo on CPU, ICI/DCN on TPU) with a bounded peer
+        # timeout, so the processes must reach it together — compile-time
+        # divergence (cache hit on one host, miss on another) would blow
+        # that window
+        dummy = {
+            "spectrogram": np.zeros((args.batch_size, 128, 124),
+                                    np.float32),
+            "text": np.zeros((args.batch_size, args.n_frames), np.int32),
+            "pose_seq": np.zeros((args.batch_size, args.n_frames,
+                                  args.pose_dim), np.float32),
+            "eid_label": np.zeros((args.batch_size, 8), np.float32),
+        }
+        dummy = {k: place(v) for k, v in dummy.items()}
+        rng0 = jax.random.PRNGKey(0)
+        for ud in ((False, True) if args.pose_dis_warm_epoch > 0
+                   else (True,)):
+            gan.train_step.lower(gen_state, disc_state, dummy, rng0, cfg,
+                                 use_disc=ud).compile()
+        # gRPC barrier (no collectives) — processes leave it together
+        coordination_barrier("egtp:train_step_compiled")
     else:
         save_ok = True
 

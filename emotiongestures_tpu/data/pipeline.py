@@ -15,12 +15,25 @@ import numpy as np
 
 
 class Prefetcher:
-    """Wrap a batch iterator; overlap host batch assembly + H2D transfer
-    with device compute.
+    """Wrap a batch iterator; overlap host batch assembly (and optionally
+    H2D transfer) with device compute.
 
     with Prefetcher(dataset.batches(64), buffer_size=2) as it:
-        for batch in it:   # dict of jax.Arrays already on device
+        for batch in it:
             state, _ = train_step(state, batch, ...)
+
+    Handoff modes (BASELINE.md round-3 measurement):
+      * default (no device/sharding/place): batches are handed off as
+        NUMPY — only host assembly overlaps; the jitted consumer performs
+        the transfer as part of dispatch. On the TPU-via-tunnel runtime
+        an eager background `jax.device_put` per array SERIALIZES on
+        tunnel round-trips and measured 1.5-3x SLOWER per step than the
+        synchronous path, while numpy handoff is neutral-to-positive —
+        so eager transfer is opt-in, not the default.
+      * `device=...` / `sharding=...`: worker thread device_puts to the
+        given placement (REQUIRED for the data-parallel mesh path, where
+        the batch must land sharded on the `data` axis).
+      * `place=fn`: custom placement (multi-host global-array assembly).
     """
 
     _DONE = object()
@@ -44,8 +57,10 @@ class Prefetcher:
             put = self.place
         else:
             target = self.sharding or self.device
+            # numpy handoff when no placement requested — see class
+            # docstring for the measured rationale
             put = (lambda v: jax.device_put(v, target)) \
-                if target is not None else jax.device_put
+                if target is not None else (lambda v: v)
         self.q.put({k: v if k in self.host_keys else put(v)
                     for k, v in batch.items()})
 

@@ -131,6 +131,24 @@ def replicate_to_global(tree, mesh):
         jax.tree_util.tree_map(np.asarray, tree), mesh, P())
 
 
+def coordination_barrier(name: str, timeout_s: float = 1800.0):
+    """Block until EVERY process reaches this barrier — served by the
+    jax.distributed coordination service over gRPC, so it involves NO
+    device collectives. Use it to align processes before the first
+    executed collective: cross-process clique initialization (gloo on
+    CPU, ICI/DCN on TPU) has a bounded peer-wait (~30 s), which
+    compile-time divergence between hosts easily exceeds.
+    (Internal-API note: goes through jax._src.distributed.global_state —
+    the only process-level barrier JAX exposes without a collective.)"""
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    if client is None:
+        raise RuntimeError("coordination_barrier() requires "
+                           "jax.distributed to be initialized")
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+
+
 def is_primary() -> bool:
     """True on the process that should write checkpoints/logs."""
     return jax.process_index() == 0

@@ -33,7 +33,22 @@ def save_checkpoint(state, directory, step: int | None = None,
     directory.mkdir(parents=True, exist_ok=True)
     step = int(state.step) if step is None else int(step)
     path = directory / f"checkpoint_iteration{step}"
-    with ocp.PyTreeCheckpointer() as ckptr:
+    if jax.process_count() > 1:
+        # multi-host: the tree is already host-local numpy (device_get of
+        # replicated arrays), and only the primary calls this — restrict
+        # orbax's barrier to the calling process or its cross-process
+        # sync waits forever for processes that never save
+        from orbax.checkpoint.options import MultiprocessingOptions
+
+        ckptr = ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=MultiprocessingOptions(
+                primary_host=jax.process_index(),
+                active_processes={jax.process_index()},
+                barrier_sync_key_prefix=f"p{jax.process_index()}"))
+    else:
+        ckptr = ocp.PyTreeCheckpointer()
+    with ckptr:
         ckptr.save(path, _state_tree(state), force=True)
     if max_to_keep is not None:
         steps = sorted(

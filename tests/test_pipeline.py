@@ -10,17 +10,32 @@ from emotiongestures_tpu.data.dataset import one_hot_eid
 from emotiongestures_tpu.data.pipeline import Prefetcher, store_batches
 
 
-def test_prefetcher_yields_device_batches():
+def test_prefetcher_default_numpy_handoff():
+    """Default mode hands batches off as numpy (assembly-only overlap —
+    eager background device_put measured 1.5-3x slower on the tunnel
+    runtime; BASELINE.md round 3)."""
+    import numpy as _np
+
     ds = SyntheticGestureDataset(n_samples=12)
     seen = 0
     with Prefetcher(ds.batches(4, shuffle=False), buffer_size=2) as it:
         for batch in it:
-            import jax
-
-            assert isinstance(batch["pose_seq"], jax.Array)
+            assert isinstance(batch["pose_seq"], _np.ndarray)
             assert batch["pose_seq"].shape == (4, 60, 282)
             seen += 1
     assert seen == 3
+
+
+def test_prefetcher_device_put_when_requested():
+    import jax
+
+    ds = SyntheticGestureDataset(n_samples=8)
+    dev = jax.devices()[0]
+    with Prefetcher(ds.batches(4, shuffle=False), device=dev,
+                    host_keys=("audio",)) as it:
+        for batch in it:
+            assert isinstance(batch["pose_seq"], jax.Array)
+            assert not isinstance(batch["audio"], jax.Array)  # host key
 
 
 def test_prefetcher_matches_sequential():
