@@ -68,14 +68,23 @@ def resolve_num_devices(num_devices: int) -> int:
 
 def dp_setup(num_devices: int, batch_size: int):
     """Build the data-parallel mesh for a train CLI (None when the run is
-    single-device). Validates the global batch divides over the mesh."""
+    single-device).
+
+    Auto mode (num_devices=0) degrades gracefully like the reference's
+    DataParallel: if the global batch does not divide across all visible
+    devices, the largest device count that DOES divide it is used (worst
+    case 1). An EXPLICIT device count that can't shard the batch is an
+    error — the user asked for exactly that mesh."""
     n = resolve_num_devices(num_devices)
-    if n <= 1:
-        return None
-    if batch_size % n:
+    if num_devices == 0:
+        while n > 1 and batch_size % n:
+            n -= 1
+    elif n > 1 and batch_size % n:
         raise SystemExit(
             f"--batch_size {batch_size} must be divisible by the "
             f"{n}-device data mesh")
+    if n <= 1:
+        return None
     return make_mesh(n_data=n)
 
 

@@ -312,3 +312,25 @@ def test_dp_classifier_train_matches_single_device(rng):
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 5e-3
+
+
+def test_dp_setup_semantics():
+    """--num_devices plumbing: auto mode degrades to the largest feasible
+    divisor of the batch (reference DataParallel never errors on batch
+    size); an explicit count that can't shard the batch errors."""
+    from emotiongestures_tpu.parallel import dp_setup
+
+    assert dp_setup(1, 7) is None
+    mesh = dp_setup(0, 16)  # 8 CPU devices divide 16
+    assert mesh is not None and mesh.shape["data"] == 8
+    mesh = dp_setup(0, 12)  # 8 ∤ 12 -> largest divisor ≤ 8 is 6
+    assert mesh is not None and mesh.shape["data"] == 6
+    mesh = dp_setup(0, 7)  # prime 7 < 8 -> 7 devices, 1 sample each
+    assert mesh is not None and mesh.shape["data"] == 7
+    assert dp_setup(0, 1) is None  # batch 1 -> single device
+    mesh = dp_setup(4, 16)
+    assert mesh.shape["data"] == 4
+    with pytest.raises(SystemExit):
+        dp_setup(8, 12)  # explicit mesh that can't shard the batch
+    with pytest.raises(SystemExit):
+        dp_setup(16, 16)  # more devices than visible
