@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from ...core.layers import BatchNorm, Conv, Linear
 from ...nn.gru import GRU, sum_bidirectional
 from .trimodal import TextEncoderTCN32, WavEncoder
+from .quirks import leaky_relu_true
 
 
 class _ConvNormRelu1d(nn.Module):
@@ -44,13 +45,15 @@ class PoseEncoderConv(nn.Module):
         x = _ConvNormRelu1d(64, name="c2")(x, train=train)
         x = _ConvNormRelu1d(64, downsample=True, name="c3")(x, train=train)
         x = Conv(32, (3,), padding="VALID", name="c4")(x)
-        x = x.reshape(x.shape[0], -1)
+        # torch flattens (B, C, L) channel-major (embedding_net.py:72) —
+        # transpose from NLC before flattening so fc fan-in order matches
+        x = jnp.swapaxes(x, 1, 2).reshape(x.shape[0], -1)
         x = Linear(256, name="out1")(x)
         x = BatchNorm(use_running_average=not train, name="bn1")(x)
-        x = nn.leaky_relu(x)
+        x = leaky_relu_true(x)  # ref :57 LeakyReLU(True) quirk
         x = Linear(128, name="out2")(x)
         x = BatchNorm(use_running_average=not train, name="bn2")(x)
-        x = nn.leaky_relu(x)
+        x = leaky_relu_true(x)  # ref :60 LeakyReLU(True) quirk
         x = Linear(self.latent_dim, name="out3")(x)
         mu = Linear(self.latent_dim, name="fc_mu")(x)
         logvar = Linear(self.latent_dim, name="fc_logvar")(x)
@@ -108,7 +111,7 @@ class PoseDecoderGRU(nn.Module):
                      name="gru")(feat, train=train)
         out = sum_bidirectional(out, self.hidden_size)
         out = Linear(self.hidden_size // 2, name="out1")(out)
-        out = nn.leaky_relu(out)
+        out = leaky_relu_true(out)  # ref :149 LeakyReLU(True) quirk
         out = Linear(self.pose_dim, name="out2")(out)
         return out
 
@@ -137,7 +140,7 @@ class PoseDecoderConv(nn.Module):
             hidden = 64, 4 * ((self.length + 6) if self.length > 8 else 8)
         x = Linear(hidden[0], name="pre_fc1")(feat)
         x = BatchNorm(use_running_average=not train, name="pre_bn2")(x)
-        x = nn.leaky_relu(x)
+        x = leaky_relu_true(x)  # ref :185/:192 LeakyReLU(True) quirk
         x = Linear(hidden[1], name="pre_fc2")(x)
         x = x.reshape(feat.shape[0], 4, -1)
         # ConvTranspose/Conv over time with 'frame' channels — NLC layout

@@ -7,6 +7,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...core.layers import BatchNorm, Conv, Linear
+from .quirks import leaky_relu_true
 
 
 class _Enc(nn.Module):
@@ -21,13 +22,15 @@ class _Enc(nn.Module):
             x = BatchNorm(use_running_average=not train, name=f"bn{i}")(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
         x = Conv(32, (3,), padding="VALID", name="c3")(x)
-        x = x.reshape(x.shape[0], -1)
+        # torch flattens (B, C, L) channel-major (motion_ae.py:62) —
+        # transpose from NLC before flattening so fc fan-in order matches
+        x = jnp.swapaxes(x, 1, 2).reshape(x.shape[0], -1)
         x = Linear(256, name="fc1")(x)
         x = BatchNorm(use_running_average=not train, name="fbn1")(x)
-        x = nn.leaky_relu(x)
+        x = leaky_relu_true(x)  # ref :48 LeakyReLU(True) quirk
         x = Linear(128, name="fc2")(x)
         x = BatchNorm(use_running_average=not train, name="fbn2")(x)
-        x = nn.leaky_relu(x)
+        x = leaky_relu_true(x)  # ref :51 LeakyReLU(True) quirk
         return Linear(self.latent_dim, name="fc3")(x)
 
 
@@ -39,7 +42,7 @@ class _Dec(nn.Module):
     def __call__(self, z, train: bool = False):
         x = Linear(64, name="pre1")(z)
         x = BatchNorm(use_running_average=not train, name="pbn")(x)
-        x = nn.leaky_relu(x)
+        x = leaky_relu_true(x)  # ref :83/:90 LeakyReLU(True) quirk
         x = Linear(136, name="pre2")(x)
         x = x.reshape(z.shape[0], 4, -1)
         x = jnp.swapaxes(x, 1, 2)

@@ -13,6 +13,7 @@ from ...core import init as winit
 from ...core.layers import BatchNorm, Conv, Linear
 from ...nn.gru import GRU, sum_bidirectional
 from ...nn.tcn import TemporalConvNet
+from .quirks import leaky_relu_true
 
 
 class WavEncoder(nn.Module):
@@ -90,9 +91,14 @@ class PoseGenerator(nn.Module):
             feats.append(WavEncoder(name="audio_encoder")(
                 in_audio, train=train))
         if self.input_context in ("both", "text"):
+            # the reference couples args.hidden_size/args.n_layers into
+            # BOTH the TCN channel stack and the GRU
+            # (multimodal_context_net.py:57,114) — keep that coupling
             text_feat, _ = TextEncoderTCN32(
-                self.n_words, frames=self.n_poses, dropout=self.dropout,
-                name="text_encoder")(in_text, train=train)
+                self.n_words, hidden_size=self.hidden_size,
+                n_layers=self.n_layers, frames=self.n_poses,
+                dropout=self.dropout, name="text_encoder")(
+                in_text, train=train)
             feats.append(text_feat)
 
         z_mu = z_logvar = z_context = None
@@ -113,7 +119,7 @@ class PoseGenerator(nn.Module):
                      dropout=self.dropout, name="gru")(in_data, train=train)
         out = sum_bidirectional(out, self.hidden_size)
         out = Linear(self.hidden_size // 2, name="out_fc1")(out)
-        out = nn.leaky_relu(out)
+        out = leaky_relu_true(out)  # ref :118 LeakyReLU(True) quirk
         out = Linear(self.pose_dim, name="out_fc2")(out)
         return out, z_context, z_mu, z_logvar
 
@@ -147,7 +153,7 @@ class ConvDiscriminator(nn.Module):
         for i, c in enumerate([16, 8]):
             x = Conv(c, (3,), padding="VALID", name=f"conv{i}")(x)
             x = BatchNorm(use_running_average=not train, name=f"bn{i}")(x)
-            x = nn.leaky_relu(x)
+            x = leaky_relu_true(x)  # ref :235,238 LeakyReLU(True) quirk
         x = Conv(8, (3,), padding="VALID", name="conv2")(x)
         out, _ = GRU(self.hidden_size, 4, bidirectional=True, dropout=0.3,
                      name="gru")(x, train=train)

@@ -34,6 +34,13 @@ _TO_TORCH = {
     "conv1d": lambda x: np.transpose(np.asarray(x), (2, 1, 0)),
     "dense1x1": lambda x: np.asarray(x).T[:, :, None],
     "g": lambda x: np.asarray(x).reshape(-1, 1, 1),
+    # flax nn.ConvTranspose (k, in, out), transpose_kernel=False <->
+    # torch ConvTranspose1d (in, out, k): torch applies the gradient-style
+    # transposed conv, which flips the kernel spatially relative to
+    # lax.conv_transpose's correlation (verified empirically in
+    # tests/test_torch_parity_baselines.py)
+    "convT1d": lambda x: np.ascontiguousarray(
+        np.transpose(np.asarray(x)[::-1], (1, 2, 0))),
 }
 _FROM_TORCH = {
     "raw": lambda x: np.asarray(x),
@@ -42,6 +49,8 @@ _FROM_TORCH = {
     "conv1d": lambda x: np.transpose(np.asarray(x), (2, 1, 0)),
     "dense1x1": lambda x: np.asarray(x)[:, :, 0].T,
     "g": lambda x: np.asarray(x).reshape(-1),
+    "convT1d": lambda x: np.ascontiguousarray(
+        np.transpose(np.asarray(x), (2, 0, 1))[::-1]),
 }
 
 
@@ -72,11 +81,14 @@ def _bn(table, torch_prefix, flax_path):
 
 
 def _conv(table, torch_prefix, flax_path, kind="conv2d", bias=True):
+    # core.layers.Conv auto-names its inner flax module Conv_0, or
+    # ConvTranspose_0 when transpose=True (the convT1d kind)
+    child = "ConvTranspose_0" if kind == "convT1d" else "Conv_0"
     table.append((f"{torch_prefix}.weight",
-                  ("params",) + flax_path + ("Conv_0", "kernel"), kind))
+                  ("params",) + flax_path + (child, "kernel"), kind))
     if bias:
         table.append((f"{torch_prefix}.bias",
-                      ("params",) + flax_path + ("Conv_0", "bias"), "raw"))
+                      ("params",) + flax_path + (child, "bias"), "raw"))
 
 
 def _resnet_se(table, torch_prefix, flax_base, layers):
@@ -248,6 +260,340 @@ def torch_state_to_flax_generator(variables, torch_state,
     unmapped = [k for k in torch_state
                 if k not in mapped and "num_batches_tracked" not in k]
     return new_vars, unmapped
+
+
+# ---------------------------------------------------------------------------
+# GRU transport (torch nn.GRU <-> flax nn.GRUCell stacks, nn/gru.py)
+#
+# Gate math parity: torch computes r = s(Wi_r x + bi_r + Wh_r h + bh_r)
+# while flax folds the two r/z biases into one i-side bias
+# (r = s(Wi_r x + b_ir + Wh_r h)); the n gate carries BOTH biases in both
+# frameworks (n = tanh(Wi_n x + b_in + r * (Wh_n h + b_hn))), so the
+# mapping is exact: torch->flax sums bi+bh on r/z, flax->torch emits the
+# flax bias on the i side and zeros on the h side. Gate order is torch's
+# (r, z, n) rows of the stacked (3H, .) weight matrices.
+# ---------------------------------------------------------------------------
+
+_GATES_I = ("ir", "iz", "in")
+_GATES_H = ("hr", "hz", "hn")
+
+
+def gru_cell_to_torch(cell: dict):
+    """flax GRUCell param subtree -> torch per-layer GRU arrays
+    (weight_ih, weight_hh, bias_ih, bias_hh)."""
+    w_ih = np.concatenate(
+        [np.asarray(cell[g]["kernel"]).T for g in _GATES_I], axis=0)
+    w_hh = np.concatenate(
+        [np.asarray(cell[g]["kernel"]).T for g in _GATES_H], axis=0)
+    hidden = w_hh.shape[1]
+    b_ih = np.concatenate(
+        [np.asarray(cell[g]["bias"]) for g in _GATES_I], axis=0)
+    zeros = np.zeros(hidden, dtype=b_ih.dtype)
+    b_hh = np.concatenate(
+        [zeros, zeros, np.asarray(cell["hn"]["bias"])], axis=0)
+    return w_ih, w_hh, b_ih, b_hh
+
+
+def torch_to_gru_cell(w_ih, w_hh, b_ih, b_hh) -> dict:
+    """Inverse of gru_cell_to_torch (checkpoint import direction)."""
+    w_ih, w_hh = np.asarray(w_ih), np.asarray(w_hh)
+    b_ih, b_hh = np.asarray(b_ih), np.asarray(b_hh)
+    hidden = w_hh.shape[1]
+
+    def row(mat, i):
+        return mat[i * hidden:(i + 1) * hidden]
+
+    cell = {}
+    for i, (gi, gh) in enumerate(zip(_GATES_I, _GATES_H)):
+        cell[gi] = {"kernel": row(w_ih, i).T}
+        cell[gh] = {"kernel": row(w_hh, i).T}
+        if gi == "in":
+            cell[gi]["bias"] = row(b_ih, i)
+            cell[gh]["bias"] = row(b_hh, i)
+        else:
+            # fold both torch biases into flax's single i-side bias
+            cell[gi]["bias"] = row(b_ih, i) + row(b_hh, i)
+    return cell
+
+
+def _gru_to_torch(out: dict, torch_prefix: str, gru_params: dict,
+                  n_layers: int, bidirectional: bool = False,
+                  layer_names=None):
+    """Emit torch nn.GRU keys for a flax GRU/GRUCellStack subtree.
+    `layer_names(layer, reverse) -> flax child name` defaults to the
+    nn/gru.py naming (l{k}_fwd / l{k}_bwd, or l{k} for cell stacks)."""
+    if layer_names is None:
+        if bidirectional:
+            layer_names = lambda k, rev: f"l{k}_{'bwd' if rev else 'fwd'}"
+        else:
+            layer_names = lambda k, rev: (
+                f"l{k}" if f"l{k}" in gru_params else f"l{k}_fwd")
+    for k in range(n_layers):
+        for rev in ((False, True) if bidirectional else (False,)):
+            cell = gru_params[layer_names(k, rev)]
+            w_ih, w_hh, b_ih, b_hh = gru_cell_to_torch(cell)
+            suffix = f"l{k}" + ("_reverse" if rev else "")
+            out[f"{torch_prefix}.weight_ih_{suffix}"] = w_ih
+            out[f"{torch_prefix}.weight_hh_{suffix}"] = w_hh
+            out[f"{torch_prefix}.bias_ih_{suffix}"] = b_ih
+            out[f"{torch_prefix}.bias_hh_{suffix}"] = b_hh
+
+
+def flax_seq2seq_to_torch_state(variables, n_layers: int = 2):
+    """Our baselines.Seq2SeqNet variables -> reference
+    model/seq2seq_net.py:217 Seq2SeqNet state_dict (numpy values)."""
+    p = variables["params"]
+    out = {"encoder.embedding.weight": np.asarray(p["encoder"]["embedding"])}
+    _gru_to_torch(out, "encoder.gru", p["encoder"]["gru"], n_layers,
+                  bidirectional=True)
+    table = []
+    dec = ("decoder",)
+    _linear(table, "decoder.decoder.pre_linear.0", dec + ("pre_linear",))
+    _bn(table, "decoder.decoder.pre_linear.1", dec + ("pre_bn",))
+    _linear(table, "decoder.decoder.attn.attn", dec + ("attn", "attn"))
+    table.append(("decoder.decoder.attn.v",
+                  ("params",) + dec + ("attn", "v"), "raw"))
+    _linear(table, "decoder.decoder.out", dec + ("out",))
+    for torch_key, flax_path, kind in table:
+        out[torch_key] = _TO_TORCH[kind](_get(variables, flax_path))
+    _gru_to_torch(out, "decoder.decoder.gru", p["decoder"]["gru"], n_layers)
+    return out
+
+
+def _conv_norm_relu(table, torch_prefix, flax_base, kind="conv1d"):
+    """models/baselines/speech2gesture.ConvNormRelu <-> the reference's
+    nn.Sequential(conv, bn, leaky_relu) (speech2gesture.py:106-128)."""
+    _conv(table, f"{torch_prefix}.0", flax_base + ("conv",), kind=kind)
+    _bn(table, f"{torch_prefix}.1", flax_base + ("bn",))
+
+
+def s2g_generator_mapping():
+    """(torch_key, flax_path, kind) table for the speech2gesture
+    Generator (model/speech2gesture.py:202-240)."""
+    t = []
+    ae = ("audio_encoder",)
+    for i in range(8):
+        _conv_norm_relu(t, f"audio_encoder.first_net.{i}",
+                        ae + (f"first_{i}",), kind="conv2d")
+    _conv_norm_relu(t, "audio_encoder.down1.0", ae + ("down1_0",))
+    _conv_norm_relu(t, "audio_encoder.down1.1", ae + ("down1_1",))
+    for i in range(2, 7):
+        _conv_norm_relu(t, f"audio_encoder.down{i}", ae + (f"down{i}",))
+    for i in range(1, 6):
+        _conv_norm_relu(t, f"audio_encoder.up{i}.conv",
+                        ae + (f"up{i}", "conv"))
+    _linear(t, "pre_pose_encoder.0", ("pre_fc1",))
+    _bn(t, "pre_pose_encoder.1", ("pre_bn",))
+    _linear(t, "pre_pose_encoder.3", ("pre_fc2",))
+    for i in range(4):
+        _conv_norm_relu(t, f"decoder.{i}", (f"dec_{i}",))
+    t.append(("final_out.weight", ("params", "final_out", "Conv_0",
+                                   "kernel"), "conv1d"))
+    t.append(("final_out.bias", ("params", "final_out", "Conv_0", "bias"),
+              "raw"))
+    return t
+
+
+def s2g_discriminator_mapping():
+    """Table for the speech2gesture patch Discriminator
+    (model/speech2gesture.py:243-259)."""
+    t = []
+    _conv(t, "net.0", ("conv1",), kind="conv1d")
+    _conv_norm_relu(t, "net.2", ("cnr1",))
+    _conv_norm_relu(t, "net.3", ("cnr2",))
+    _conv(t, "net.4", ("out",), kind="conv1d")
+    return t
+
+
+def _wav_encoder(table, torch_prefix, flax_base):
+    """Trimodal raw-wave encoder (multimodal_context_net.py:13-40)."""
+    for i, seq in enumerate((0, 3, 6, 9)):
+        _conv(table, f"{torch_prefix}.feat_extractor.{seq}",
+              flax_base + (f"conv{i}",), kind="conv1d")
+        if i < 3:
+            _bn(table, f"{torch_prefix}.feat_extractor.{seq + 1}",
+                flax_base + (f"bn{i}",))
+    _linear(table, f"{torch_prefix}.fc1.0", flax_base + ("fc1",))
+
+
+def _tcn(table, params, torch_prefix, flax_base, n_layers):
+    """TemporalConvNet transport (model/tcn.py == Full_model/tcn.py):
+    weight-normed conv1/conv2 per block, optional 1x1 downsample."""
+    for i in range(n_layers):
+        fb = flax_base + (f"block{i}",)
+        tp = f"{torch_prefix}.network.{i}"
+        for c in ("conv1", "conv2"):
+            table.append((f"{tp}.{c}.weight_v",
+                          ("params",) + fb + (c, "v"), "conv1d"))
+            table.append((f"{tp}.{c}.weight_g",
+                          ("params",) + fb + (c, "g"), "g"))
+            table.append((f"{tp}.{c}.bias",
+                          ("params",) + fb + (c, "bias"), "raw"))
+        if "downsample" in _get(params, fb):
+            table.append((f"{tp}.downsample.weight",
+                          ("params",) + fb + ("downsample", "kernel"),
+                          "dense1x1"))
+            table.append((f"{tp}.downsample.bias",
+                          ("params",) + fb + ("downsample", "bias"), "raw"))
+
+
+def _text_encoder_tcn32(table, params, torch_prefix, flax_base,
+                        n_layers):
+    """32-d TCN text encoder (multimodal_context_net.py:43-77)."""
+    table.append((f"{torch_prefix}.embedding.weight",
+                  ("params",) + flax_base + ("embedding",), "raw"))
+    _tcn(table, params, torch_prefix + ".tcn", flax_base + ("tcn",),
+         n_layers)
+    _linear(table, f"{torch_prefix}.fc1.0", flax_base + ("fc1",))
+    _linear(table, f"{torch_prefix}.decoder", flax_base + ("decoder",))
+
+
+def flax_trimodal_generator_to_torch_state(variables, n_layers: int = 4):
+    """Our baselines.PoseGenerator (input_context='both', no speaker z)
+    -> reference multimodal_context_net.PoseGenerator state_dict."""
+    p = {"params": variables["params"]}
+    t = []
+    _wav_encoder(t, "audio_encoder", ("audio_encoder",))
+    _text_encoder_tcn32(t, p["params"], "text_encoder", ("text_encoder",),
+                        n_layers)
+    _linear(t, "out.0", ("out_fc1",))
+    _linear(t, "out.2", ("out_fc2",))
+    out = flax_table_to_torch_state(variables, t)
+    _gru_to_torch(out, "gru", variables["params"]["gru"], n_layers,
+                  bidirectional=True)
+    return out
+
+
+def flax_trimodal_discriminator_to_torch_state(variables,
+                                               n_layers: int = 4):
+    """baselines.TrimodalDiscriminator -> reference Discriminator
+    (multimodal_context_net.py:182-223, no text encoder)."""
+    t = []
+    _linear(t, "out", ("out",))
+    _linear(t, "out2", ("out2",))
+    out = flax_table_to_torch_state(variables, t)
+    _gru_to_torch(out, "gru", variables["params"]["gru"], n_layers,
+                  bidirectional=True)
+    return out
+
+
+def flax_conv_discriminator_to_torch_state(variables):
+    """baselines.ConvDiscriminator -> reference ConvDiscriminator
+    (multimodal_context_net.py:226-272)."""
+    t = []
+    for i, seq in enumerate((0, 3, 6)):
+        _conv(t, f"pre_conv.{seq}", (f"conv{i}",), kind="conv1d")
+        if i < 2:
+            _bn(t, f"pre_conv.{seq + 1}", (f"bn{i}",))
+    _linear(t, "out", ("out",))
+    _linear(t, "out2", ("out2",))
+    out = flax_table_to_torch_state(variables, t)
+    _gru_to_torch(out, "gru", variables["params"]["gru"], 4,
+                  bidirectional=True)
+    return out
+
+
+def _deconv_stack(table, torch_prefix, flax_base):
+    """The shared ConvTranspose->Conv tail of PoseDecoderConv
+    (embedding_net.py:196-205 == motion_ae.py:94-103): net.0/.3 are
+    ConvTranspose1d (kind convT1d — torch stores (in, out, k) with the
+    kernel spatially FLIPPED relative to lax.conv_transpose), net.6/.7
+    plain convs."""
+    for torch_seq, name, kind in ((0, "d1", "convT1d"), (3, "d2", "convT1d"),
+                                  (6, "c1", "conv1d"), (7, "c2", "conv1d")):
+        _conv(table, f"{torch_prefix}net.{torch_seq}",
+              flax_base + (name,), kind=kind)
+        if torch_seq in (0, 3):
+            _bn(table, f"{torch_prefix}net.{torch_seq + 1}",
+                flax_base + (f"bn{1 if torch_seq == 0 else 2}",))
+
+
+def _pose_encoder_conv(t, tp, base):
+    """PoseEncoderConv body shared by embedding_net.py:42-83 and the
+    standalone transplant (tp='' -> module tested in isolation, the only
+    config the reference can actually RUN: its out_net fan-in of 800 is
+    hard-coded for 60-frame inputs while its conv decoder asserts
+    length in {34, 64} — the full 'pose'-mode EmbeddingNet forward is
+    unrunnable at any length in the vendored reference)."""
+    for i in range(3):  # ConvNormRelu triplets (embedding_net.py:45-48)
+        _conv(t, f"{tp}net.{i}.0", base + (f"c{i + 1}", "conv"),
+              kind="conv1d")
+        _bn(t, f"{tp}net.{i}.1", base + (f"c{i + 1}", "bn"))
+    _conv(t, f"{tp}net.3", base + ("c4",), kind="conv1d")
+    _linear(t, f"{tp}out_net.0", base + ("out1",))
+    _bn(t, f"{tp}out_net.1", base + ("bn1",))
+    _linear(t, f"{tp}out_net.3", base + ("out2",))
+    _bn(t, f"{tp}out_net.4", base + ("bn2",))
+    _linear(t, f"{tp}out_net.6", base + ("out3",))
+    _linear(t, f"{tp}fc_mu", base + ("fc_mu",))
+    _linear(t, f"{tp}fc_logvar", base + ("fc_logvar",))
+
+
+def _pose_decoder_conv(t, tp, base):
+    """PoseDecoderConv (embedding_net.py:166-218), no pre-pose branch."""
+    _linear(t, f"{tp}pre_net.0", base + ("pre_fc1",))
+    _bn(t, f"{tp}pre_net.1", base + ("pre_bn2",))
+    _linear(t, f"{tp}pre_net.3", base + ("pre_fc2",))
+    _deconv_stack(t, tp, base)
+
+
+def flax_pose_encoder_conv_to_torch_state(variables):
+    """Standalone baselines.PoseEncoderConv -> reference PoseEncoderConv
+    state_dict (runnable at 60 frames where flatten == 800)."""
+    t = []
+    _pose_encoder_conv(t, "", ())
+    return flax_table_to_torch_state(variables, t)
+
+
+def flax_pose_decoder_conv_to_torch_state(variables):
+    """Standalone baselines.PoseDecoderConv -> reference PoseDecoderConv
+    state_dict (runnable at length 34/64)."""
+    t = []
+    _pose_decoder_conv(t, "", ())
+    return flax_table_to_torch_state(variables, t)
+
+
+def flax_embedding_net_pose_to_torch_state(variables):
+    """baselines.EmbeddingNet (mode='pose') -> reference EmbeddingNet
+    (embedding_net.py:263-316, pose branch: PoseEncoderConv with
+    fc_mu/fc_logvar + PoseDecoderConv). Checkpoint-naming parity; the
+    reference cannot run this assembly forward (see _pose_encoder_conv),
+    so numerical parity is pinned per sub-module instead
+    (tests/test_torch_parity_baselines.py)."""
+    t = []
+    _pose_encoder_conv(t, "pose_encoder.", ("pose_encoder",))
+    _pose_decoder_conv(t, "decoder.", ("decoder",))
+    return flax_table_to_torch_state(variables, t)
+
+
+def flax_motion_ae_to_torch_state(variables):
+    """baselines.MotionAE -> reference motion_ae.MotionAE state_dict
+    (motion_ae.py:118-130; its PoseEncoderConv returns z only — no
+    fc_mu/fc_logvar)."""
+    t = []
+    en = ("encoder",)
+    for i in range(3):  # Convs + BNs are direct children in our _Enc
+        _conv(t, f"encoder.net.{i}.0", en + (f"c{i}",), kind="conv1d")
+        _bn(t, f"encoder.net.{i}.1", en + (f"bn{i}",))
+    _conv(t, "encoder.net.3", en + ("c3",), kind="conv1d")
+    _linear(t, "encoder.out_net.0", en + ("fc1",))
+    _bn(t, "encoder.out_net.1", en + ("fbn1",))
+    _linear(t, "encoder.out_net.3", en + ("fc2",))
+    _bn(t, "encoder.out_net.4", en + ("fbn2",))
+    _linear(t, "encoder.out_net.6", en + ("fc3",))
+    de = ("decoder",)
+    _linear(t, "decoder.pre_net.0", de + ("pre1",))
+    _bn(t, "decoder.pre_net.1", de + ("pbn",))
+    _linear(t, "decoder.pre_net.3", de + ("pre2",))
+    _deconv_stack(t, "decoder.", de)
+    return flax_table_to_torch_state(variables, t)
+
+
+def flax_table_to_torch_state(variables, table):
+    """Apply a (torch_key, flax_path, kind) table in the flax->torch
+    direction."""
+    return {torch_key: _TO_TORCH[kind](_get(variables, flax_path))
+            for torch_key, flax_path, kind in table}
 
 
 def load_reference_dict_checkpoint(path, map_location="cpu"):
