@@ -13,6 +13,8 @@ from .trimodal import (  # noqa: F401
 from .hierarchy import (  # noqa: F401
     HierarchicalWavEncoder,
     HierarchicalPoseGenerator,
+    HierarchicalDiscriminator,
+    HierarchicalConvDiscriminator,
 )
 from .embedding_net import EmbeddingNet, PoseEncoderConv  # noqa: F401
 from .motion_ae import MotionAE  # noqa: F401

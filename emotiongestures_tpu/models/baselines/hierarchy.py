@@ -113,6 +113,7 @@ class HierarchicalPoseGenerator(nn.Module):
     input_context: str = "both"
     n_speakers: int = 0
     z_size: int = 16
+    word_embed_size: int = 300
 
     @nn.compact
     def __call__(self, pre_seq, in_text, audio_feat_seq, vid_indices=None,
@@ -120,8 +121,12 @@ class HierarchicalPoseGenerator(nn.Module):
         import jax
 
         feats = [pre_seq]
+        # args.hidden_size/args.n_layers feed BOTH the TCN channel stack
+        # and the GRU (hierarchy_net.py:43,103) — keep that coupling
         text_feat, _ = TextEncoderTCN32(
-            self.n_words, frames=self.n_poses, dropout=self.dropout,
+            self.n_words, embed_size=self.word_embed_size,
+            hidden_size=self.hidden_size, n_layers=self.n_layers,
+            frames=self.n_poses, dropout=self.dropout,
             name="text_encoder")(in_text, train=train)
         if self.input_context == "both":
             feats += [audio_feat_seq, text_feat]
@@ -148,6 +153,56 @@ class HierarchicalPoseGenerator(nn.Module):
                      dropout=self.dropout, name="gru")(in_data, train=train)
         out = sum_bidirectional(out, self.hidden_size)
         out = Linear(self.hidden_size // 2, name="out_fc1")(out)
+        # hierarchy_net.py:104 writes LeakyReLU(inplace=True) — a REAL
+        # 0.01-slope leaky relu, unlike the trimodal family's
+        # LeakyReLU(True) identity quirk (see quirks.leaky_relu_true)
         out = nn.leaky_relu(out)
         out = Linear(self.pose_dim, name="out_fc2")(out)
         return out, z_context, z_mu, z_logvar
+
+
+class HierarchicalDiscriminator(nn.Module):
+    """GRU pose discriminator (hierarchy_net.py:166-208). The reference's
+    optional text branch is dead code: it calls TextEncoderTCN with
+    shifted positional args (hierarchy_net.py:172 — `args` receives
+    n_words) and would crash, so only the no-text configuration is real.
+    """
+
+    hidden_size: int = 300
+    n_layers: int = 4
+    n_poses: int = 60
+    dropout: float = 0.3
+
+    @nn.compact
+    def __call__(self, poses, train: bool = False):
+        out, _ = GRU(self.hidden_size, self.n_layers, bidirectional=True,
+                     dropout=self.dropout, name="gru")(poses, train=train)
+        out = sum_bidirectional(out, self.hidden_size)
+        out = Linear(1, name="out")(out)[..., 0]  # (B, T)
+        out = Linear(1, name="out2")(out)
+        return nn.sigmoid(out)
+
+
+class HierarchicalConvDiscriminator(nn.Module):
+    """Conv pose discriminator (hierarchy_net.py:211-255): 3 VALID convs
+    (60 -> 54 frames, hence out2's Linear(54, 1)) -> 4-layer bi-GRU ->
+    per-frame fc -> frame-mix fc -> sigmoid. Unlike the trimodal
+    ConvDiscriminator this one uses REAL LeakyReLU(inplace=True)
+    (hierarchy_net.py:222,225)."""
+
+    hidden_size: int = 64
+
+    @nn.compact
+    def __call__(self, poses, train: bool = False):
+        x = poses
+        for i, c in enumerate([16, 8]):
+            x = Conv(c, (3,), padding="VALID", name=f"conv{i}")(x)
+            x = BatchNorm(use_running_average=not train, name=f"bn{i}")(x)
+            x = nn.leaky_relu(x)  # slope 0.01, matching inplace=True kwarg
+        x = Conv(8, (3,), padding="VALID", name="conv2")(x)
+        out, _ = GRU(self.hidden_size, 4, bidirectional=True, dropout=0.3,
+                     name="gru")(x, train=train)
+        out = sum_bidirectional(out, self.hidden_size)
+        out = Linear(1, name="out")(out)[..., 0]
+        out = Linear(1, name="out2")(out)
+        return nn.sigmoid(out)

@@ -139,7 +139,11 @@ class _ConvDecoderV3(nn.Module):
     def __call__(self, z, train: bool = False):  # (B, 4, 128)
         h = jnp.swapaxes(z, 1, 2)  # NLC: (B, 128, 4)
         for i, ch in enumerate([8, 16]):
-            h = Conv(ch, (3,), strides=2, padding="SAME", transpose=True,
+            # torch ConvTranspose1d(k=3, s=2, p=1, output_padding=1)
+            # == dilate-by-2 then pad (1, 2); lax's "SAME" distributes
+            # (2, 1) instead, so the padding must be explicit
+            # (verified in tests/test_torch_parity_aux.py)
+            h = Conv(ch, (3,), strides=2, padding=((1, 2),), transpose=True,
                      name=f"deconv{i}")(h)
             h = nn.leaky_relu(h, negative_slope=0.2)
             h = BatchNorm(use_running_average=not train, name=f"bn{i}")(h)

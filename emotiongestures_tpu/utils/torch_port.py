@@ -589,11 +589,235 @@ def flax_motion_ae_to_torch_state(variables):
     return flax_table_to_torch_state(variables, t)
 
 
+def flax_hierarchy_wav_encoder_to_torch_state(variables,
+                                              speakers: bool = False):
+    """baselines.HierarchicalWavEncoder -> reference
+    Hierarchical_WavEncoder (hierarchy_net.py:17-26 wrapping
+    model/ResNetSE34V2.py:13-181 as `feat_extractor`)."""
+    t = []
+    _resnet_se(t, "feat_extractor", (), [3, 4, 6, 3])
+    for lvl in ("low", "mid", "high"):
+        _conv(t, f"feat_extractor.conv_{lvl}", (f"conv_{lvl}",))
+        _bn(t, f"feat_extractor.bn_{lvl}", (f"bn_{lvl}",))
+        _linear(t, f"feat_extractor.fc_{lvl}", (f"fc_{lvl}",))
+    if speakers:
+        t.append(("feat_extractor.speaker_embedding.0.weight",
+                  ("params", "speaker_embedding"), "raw"))
+        _linear(t, "feat_extractor.speaker_embedding.1", ("speaker_fc",))
+        _linear(t, "feat_extractor.fc1", ("fc1",))
+        _linear(t, "feat_extractor.fc2", ("fc2",))
+    return flax_table_to_torch_state(variables, t)
+
+
+def flax_hierarchy_generator_to_torch_state(variables, n_layers: int = 4,
+                                            tcn_layers: int = 4,
+                                            speakers: bool = False):
+    """baselines.HierarchicalPoseGenerator -> reference
+    Hierarchical_PoseGenerator (hierarchy_net.py:68-163)."""
+    t = []
+    _text_encoder_tcn32(t, variables["params"], "text_encoder",
+                        ("text_encoder",), tcn_layers)
+    _linear(t, "out.0", ("out_fc1",))
+    _linear(t, "out.2", ("out_fc2",))
+    if speakers:
+        t.append(("speaker_embedding.0.weight",
+                  ("params", "speaker_embedding"), "raw"))
+        _linear(t, "speaker_embedding.1", ("speaker_fc",))
+        _linear(t, "speaker_mu", ("speaker_mu",))
+        _linear(t, "speaker_logvar", ("speaker_logvar",))
+    out = flax_table_to_torch_state(variables, t)
+    _gru_to_torch(out, "gru", variables["params"]["gru"], n_layers,
+                  bidirectional=True)
+    return out
+
+
+def flax_hierarchy_discriminator_to_torch_state(variables,
+                                                n_layers: int = 4):
+    """baselines.HierarchicalDiscriminator -> reference
+    Hierarchical_Discriminator (hierarchy_net.py:166-208, no text)."""
+    t = []
+    _linear(t, "out", ("out",))
+    _linear(t, "out2", ("out2",))
+    out = flax_table_to_torch_state(variables, t)
+    _gru_to_torch(out, "gru", variables["params"]["gru"], n_layers,
+                  bidirectional=True)
+    return out
+
+
+def flax_hierarchy_conv_discriminator_to_torch_state(variables):
+    """baselines.HierarchicalConvDiscriminator -> reference
+    Hierarchical_ConvDiscriminator (hierarchy_net.py:211-255)."""
+    t = []
+    for i, seq in enumerate((0, 3, 6)):
+        _conv(t, f"pre_conv.{seq}", (f"conv{i}",), kind="conv1d")
+        if i < 2:
+            _bn(t, f"pre_conv.{seq + 1}", (f"bn{i}",))
+    _linear(t, "out", ("out",))
+    _linear(t, "out2", ("out2",))
+    out = flax_table_to_torch_state(variables, t)
+    _gru_to_torch(out, "gru", variables["params"]["gru"], 4,
+                  bidirectional=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Metric / auxiliary nets (the frozen evaluators the eval entry point
+# restores, test_...py:148-174) — transplant tables so Emotion-Acc / FGD
+# features can be pinned numerically against the actual reference modules.
+# ---------------------------------------------------------------------------
+
+
+def fgd_ae_mapping():
+    """(torch_key, flax_path, kind) table for models.fgd_ae.FGDAutoEncoder
+    <-> reference model/FGD.py:26-82 MLP_Reconstruct (Encoder/Decoder
+    Sequentials with Dropout at odd indices)."""
+    t = []
+    _seq_linears(t, "Encoder", (), ("enc_fc1", "enc_fc2", "enc_fc3"))
+    _seq_linears(t, "Decoder", (), ("dec_fc1", "dec_fc2", "dec_fc3"))
+    return t
+
+
+def flax_fgd_ae_to_torch_state(variables):
+    return flax_table_to_torch_state(variables, fgd_ae_mapping())
+
+
+def emotion_net_mapping():
+    """Table for models.emotion_net.EmotionNet <-> reference
+    model/audio_emotion_classifer.py:17-49 EmotionNet (4-stage ResNetSE +
+    5-layer MLP + last_fc)."""
+    t = []
+    _resnet_se(t, "emotion_encoder", ("emotion_encoder",), [3, 4, 6, 3])
+    _seq_linears(t, "emotion_eocder_fc", (),
+                 ("fc0", "fc1", "fc2", "fc3", "fc4"))
+    _linear(t, "last_fc", ("last_fc",))
+    return t
+
+
+def flax_emotion_net_to_torch_state(variables):
+    return flax_table_to_torch_state(variables, emotion_net_mapping())
+
+
+def skeleton_classifier_mapping(n_layers: int = 3):
+    """Table for models.skeleton_classifier.SkeletonTransformer <->
+    reference skeleton_classifer/Models.py:199-283 Transformer. The
+    reference Encoder's position_embeddings / trailing layer_norm params
+    are unused in its forward (Models.py:240-241 vs :217) and left at
+    torch init."""
+    t = []
+    _linear(t, "prior_seq_encoder.fc1", ("prior_fc1",))
+    _linear(t, "prior_seq_encoder.fc2", ("prior_fc2",))
+    _seq_linears(t, "post_projector", (),
+                 ("post_fc1", "post_fc2", "post_fc3", "post_fc4",
+                  "post_fc5"))
+    _enc_layers(t, "encoder", ("encoder",), n_layers)
+    return t
+
+
+def flax_skeleton_classifier_to_torch_state(variables, n_layers: int = 3):
+    return flax_table_to_torch_state(
+        variables, skeleton_classifier_mapping(n_layers))
+
+
+def cvae_v3_mapping():
+    """Table for models.cvae.EmotionCVAEv3 <-> reference
+    CAVE/BEAT_CVAE.py:312-460 MLP_Reconstruct_v3. Decoder's two
+    ConvTranspose1d (k=3, s=2, p=1, output_padding=1) match flax
+    ConvTranspose(padding=((1, 2),), stride 2) exactly up to the convT1d
+    kernel flip: both dilate-by-2 then pad (1, 2)."""
+    t = []
+    enc = ("encoder",)
+    for i, seq in enumerate((0, 3, 6, 9)):
+        _conv(t, f"Encoder.{seq}", enc + (f"conv{i}",), kind="conv1d")
+        _bn(t, f"Encoder.{seq + 2}", enc + (f"bn{i}",))
+    _seq_linears(t, "Posterior_Y_embedding", ("y_embed",), ("fc1", "fc2"))
+    _seq_linears(t, "fc_mu", ("fc_mu",), ("fc0", "fc1"))
+    _seq_linears(t, "fc_var", ("fc_var",), ("fc0", "fc1"))
+    _seq_linears(t, "fusion_z_posterior", ("fusion",), ("fc0", "fc1"))
+    de = ("decoder",)
+    for i, seq in enumerate((0, 3)):
+        _conv(t, f"Decoder.{seq}", de + (f"deconv{i}",), kind="convT1d")
+        _bn(t, f"Decoder.{seq + 2}", de + (f"bn{i}",))
+    for i, seq in enumerate((6, 9)):
+        _conv(t, f"Decoder.{seq}", de + (f"conv{i}",), kind="conv1d")
+        _bn(t, f"Decoder.{seq + 2}", de + (f"bn{i + 2}",))
+    _conv(t, "Decoder.12", de + ("conv_out",), kind="conv1d")
+    return t
+
+
+def flax_cvae_v3_to_torch_state(variables):
+    return flax_table_to_torch_state(variables, cvae_v3_mapping())
+
+
 def flax_table_to_torch_state(variables, table):
     """Apply a (torch_key, flax_path, kind) table in the flax->torch
     direction."""
     return {torch_key: _TO_TORCH[kind](_get(variables, flax_path))
             for torch_key, flax_path, kind in table}
+
+
+def torch_table_to_flax_state(variables, torch_state, table,
+                              gru_specs=()):
+    """Apply a (torch_key, flax_path, kind) table in the torch->flax
+    direction (checkpoint IMPORT — the generic form of
+    torch_state_to_flax_generator, usable with any of the *_mapping()
+    builders above). `variables` is the shape template; returns
+    (new_variables, unmapped_torch_keys). DataParallel 'module.'
+    prefixes are stripped like the reference loaders do
+    (test_...py:149,159,168).
+
+    `gru_specs` handles torch nn.GRU blocks, which the tables can't
+    express (gate folding, not a layout permute): an iterable of
+    (torch_prefix, flax_path_to_gru_subtree, n_layers, bidirectional)
+    tuples, inverted via torch_to_gru_cell."""
+    import copy
+
+    torch_state = {k.replace("module.", "", 1): np.asarray(v)
+                   for k, v in torch_state.items()}
+    new_vars = copy.deepcopy({k: variables[k] for k in variables
+                              if k in ("params", "batch_stats")})
+    mapped = set()
+    for torch_key, flax_path, kind in table:
+        if torch_key not in torch_state:
+            raise KeyError(f"reference checkpoint missing {torch_key}")
+        value = _FROM_TORCH[kind](torch_state[torch_key])
+        expect = np.asarray(_get(variables, flax_path))
+        if value.shape != expect.shape:
+            raise ValueError(
+                f"{torch_key}: shape {value.shape} != {expect.shape}")
+        _set(new_vars, flax_path, value.astype(expect.dtype))
+        mapped.add(torch_key)
+    for torch_prefix, gru_path, n_layers, bidirectional in gru_specs:
+        gru_template = _get(variables, ("params",) + tuple(gru_path))
+        for k in range(n_layers):
+            for rev in ((False, True) if bidirectional else (False,)):
+                suffix = f"l{k}" + ("_reverse" if rev else "")
+                keys = [f"{torch_prefix}.{w}_{suffix}"
+                        for w in ("weight_ih", "weight_hh",
+                                  "bias_ih", "bias_hh")]
+                for key in keys:
+                    if key not in torch_state:
+                        raise KeyError(
+                            f"reference checkpoint missing {key}")
+                cell = torch_to_gru_cell(*(torch_state[k] for k in keys))
+                if bidirectional:
+                    child = f"l{k}_{'bwd' if rev else 'fwd'}"
+                else:
+                    child = (f"l{k}" if f"l{k}" in gru_template
+                             else f"l{k}_fwd")
+                for gate, leaves in cell.items():
+                    for leaf, value in leaves.items():
+                        path = (("params",) + tuple(gru_path)
+                                + (child, gate, leaf))
+                        expect = np.asarray(_get(variables, path))
+                        if value.shape != expect.shape:
+                            raise ValueError(
+                                f"{torch_prefix} {child}.{gate}.{leaf}: "
+                                f"{value.shape} != {expect.shape}")
+                        _set(new_vars, path, value.astype(expect.dtype))
+                mapped.update(keys)
+    unmapped = [k for k in torch_state
+                if k not in mapped and "num_batches_tracked" not in k]
+    return new_vars, unmapped
 
 
 def load_reference_dict_checkpoint(path, map_location="cpu"):

@@ -479,3 +479,186 @@ def test_gru_cell_roundtrip(rng):
     for g, sub in cell.items():
         for name, v in sub.items():
             np.testing.assert_allclose(back[g][name], v, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy (HA2G) family — hierarchy_net.py + model/ResNetSE34V2.py
+# ---------------------------------------------------------------------------
+
+
+def test_hierarchy_wav_encoder_matches_reference(ref_path, rng):
+    """Hierarchical_WavEncoder (hierarchy_net.py:17-26 wrapping the
+    multi-resolution ResNetSE34V2 with PixelShuffle heads), speaker-
+    conditioned blend path included (deterministic softmax weights)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from model import vocab as ref_vocab
+    from model.hierarchy_net import Hierarchical_WavEncoder as RefEnc
+
+    from emotiongestures_tpu.models.baselines.hierarchy import (
+        HierarchicalWavEncoder,
+    )
+    from emotiongestures_tpu.utils.torch_port import (
+        flax_hierarchy_wav_encoder_to_torch_state,
+        load_into_torch,
+    )
+
+    B = 2
+    spec = rng.randn(B, 128, 124).astype(np.float32)
+    vid = rng.randint(0, 4, (B,))
+
+    ours = HierarchicalWavEncoder(n_out=32, pose_level=3, n_speakers=4)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(spec),
+                          jnp.asarray(vid))
+    w_j, low_j, mid_j, high_j, blend_j = ours.apply(
+        variables, jnp.asarray(spec), jnp.asarray(vid), train=False)
+
+    z_obj = ref_vocab.Vocab("speakers")  # n_words == 4 default tokens
+    ref = RefEnc(args=None, z_obj=z_obj, pose_level=3, nOut=32)
+    missing = load_into_torch(ref, flax_hierarchy_wav_encoder_to_torch_state(
+        variables, speakers=True))
+    assert not missing, f"unmapped params: {missing[:10]}"
+    ref.eval()
+    with torch.no_grad():
+        w_t, low_t, mid_t, high_t, blend_t = ref(
+            torch.tensor(spec), torch.tensor(vid))
+    np.testing.assert_allclose(np.asarray(low_j), low_t.numpy(),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(mid_j), mid_t.numpy(),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(high_j), high_t.numpy(),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(w_j), w_t.numpy(),
+                               rtol=2e-3, atol=1e-5)
+    assert len(blend_j) == len(blend_t) == 3
+    for bj, bt in zip(blend_j, blend_t):
+        np.testing.assert_allclose(np.asarray(bj), bt.numpy(),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_hierarchy_generator_matches_reference(ref_path, rng):
+    """Hierarchical_PoseGenerator (hierarchy_net.py:68-163), no-speaker
+    configuration (the speaker path reparameterizes with fresh noise and
+    cannot be compared deterministically)."""
+    import types as _types
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from model.hierarchy_net import Hierarchical_PoseGenerator as RefGen
+
+    from emotiongestures_tpu.models.baselines.hierarchy import (
+        HierarchicalPoseGenerator,
+    )
+    from emotiongestures_tpu.utils.torch_port import (
+        flax_hierarchy_generator_to_torch_state,
+        load_into_torch,
+    )
+
+    N_WORDS, B, FRAMES, POSE_DIM = 20, 2, 60, 27
+    HID, LAYERS, EMB = 32, 2, 16
+
+    ours = HierarchicalPoseGenerator(
+        n_words=N_WORDS, pose_dim=POSE_DIM, n_poses=FRAMES,
+        hidden_size=HID, n_layers=LAYERS, input_context="both",
+        word_embed_size=EMB)
+    pre = rng.randn(B, FRAMES, POSE_DIM + 1).astype(np.float32)
+    text = rng.randint(1, N_WORDS, (B, FRAMES))
+    audio_feat = rng.randn(B, FRAMES, 32).astype(np.float32)
+    variables = ours.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(pre), jnp.asarray(text), jnp.asarray(audio_feat))
+    out_j, *_ = ours.apply(variables, jnp.asarray(pre), jnp.asarray(text),
+                           jnp.asarray(audio_feat), train=False)
+
+    args = _types.SimpleNamespace(
+        n_pre_poses=10, n_poses=FRAMES, input_context="both",
+        hidden_size=HID, n_layers=LAYERS, dropout_prob=0.3)
+    ref = RefGen(args, pose_dim=POSE_DIM, n_words=N_WORDS,
+                 word_embed_size=EMB, word_embeddings=None, z_obj=None)
+    missing = load_into_torch(ref, flax_hierarchy_generator_to_torch_state(
+        variables, n_layers=LAYERS, tcn_layers=LAYERS))
+    assert not missing, f"unmapped params: {missing[:10]}"
+    ref.eval()
+    with torch.no_grad():
+        out_t, *_ = ref(torch.tensor(pre), torch.tensor(text),
+                        torch.tensor(audio_feat))
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               rtol=2e-3, atol=1e-4)
+
+
+def test_hierarchy_discriminator_matches_reference(ref_path, rng):
+    """Hierarchical_Discriminator (hierarchy_net.py:166-208)."""
+    import types as _types
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from model.hierarchy_net import Hierarchical_Discriminator as RefDis
+
+    from emotiongestures_tpu.models.baselines.hierarchy import (
+        HierarchicalDiscriminator,
+    )
+    from emotiongestures_tpu.utils.torch_port import (
+        flax_hierarchy_discriminator_to_torch_state,
+        load_into_torch,
+    )
+
+    B, FRAMES, POSE_DIM, HID, LAYERS = 2, 60, 27, 32, 2
+    poses = rng.randn(B, FRAMES, POSE_DIM).astype(np.float32)
+    ours = HierarchicalDiscriminator(hidden_size=HID, n_layers=LAYERS,
+                                     n_poses=FRAMES)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(poses))
+    out_j = np.asarray(ours.apply(variables, jnp.asarray(poses),
+                                  train=False))
+
+    args = _types.SimpleNamespace(hidden_size=HID, n_layers=LAYERS,
+                                  dropout_prob=0.3, n_poses=FRAMES)
+    ref = RefDis(args, input_size=POSE_DIM)
+    missing = load_into_torch(
+        ref, flax_hierarchy_discriminator_to_torch_state(
+            variables, n_layers=LAYERS))
+    assert not missing, f"unmapped params: {missing[:10]}"
+    ref.eval()
+    with torch.no_grad():
+        out_t = ref(torch.tensor(poses)).numpy()
+    np.testing.assert_allclose(out_j, out_t, rtol=2e-3, atol=1e-5)
+
+
+def test_hierarchy_conv_discriminator_matches_reference(ref_path, rng):
+    """Hierarchical_ConvDiscriminator (hierarchy_net.py:211-255) — the
+    variant with REAL LeakyReLU(inplace=True), not the trimodal identity
+    quirk."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from model.hierarchy_net import Hierarchical_ConvDiscriminator as RefDis
+
+    from emotiongestures_tpu.models.baselines.hierarchy import (
+        HierarchicalConvDiscriminator,
+    )
+    from emotiongestures_tpu.utils.torch_port import (
+        flax_hierarchy_conv_discriminator_to_torch_state,
+        load_into_torch,
+    )
+
+    B, FRAMES, POSE_DIM = 2, 60, 27
+    poses = rng.randn(B, FRAMES, POSE_DIM).astype(np.float32)
+    ours = HierarchicalConvDiscriminator()
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(poses))
+    out_j = np.asarray(ours.apply(variables, jnp.asarray(poses),
+                                  train=False))
+
+    ref = RefDis(input_size=POSE_DIM)
+    missing = load_into_torch(
+        ref, flax_hierarchy_conv_discriminator_to_torch_state(variables))
+    assert not missing, f"unmapped params: {missing[:10]}"
+    ref.eval()
+    with torch.no_grad():
+        out_t = ref(torch.tensor(poses)).numpy()
+    np.testing.assert_allclose(out_j, out_t, rtol=2e-3, atol=1e-5)
