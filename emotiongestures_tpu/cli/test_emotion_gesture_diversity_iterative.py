@@ -14,7 +14,10 @@ equivalent DSP) and the final sqrtm stay on host.
 Extra flags (ours): --synthetic N, --checkpoints_folder_path /
 --fgd_checkpoint / --skeleton_checkpoint / --cvae_checkpoint to point at
 orbax checkpoint dirs (randomly-initialised models with a warning when
-absent, so the pipeline stays runnable end-to-end).
+absent, so the pipeline stays runnable end-to-end). Each checkpoint flag
+also accepts a reference torch .pth FILE directly — imported through the
+utils/torch_port tables (see _maybe_load), so the reference's frozen
+evaluator checkpoints (test_...py:149,159,168) work unconverted.
 """
 from __future__ import annotations
 
@@ -109,19 +112,47 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def _maybe_load(state, path, name, subdir: str | None = None):
+def _maybe_load(state, path, name, subdir: str | None = None,
+                torch_import=None):
     """Restore `state` from `path`, also trying `path/subdir` (the GAN
     trainer saves generator/discriminator under per-model subdirs of
     --model_save_path, so --checkpoints_folder_path may point at either
-    level)."""
+    level).
+
+    If `path` is a FILE ending in .pth/.pt and `torch_import` is given,
+    it is treated as a reference torch checkpoint and imported through
+    the declarative utils/torch_port tables — so a migrating user can
+    point the checkpoint flags straight at the reference's frozen
+    evaluator .pth files (test_...py:149,159,168) with no conversion
+    step. DataParallel 'module.' prefixes and the rich-dict 'gen_dict'
+    layout (utils/train_utils.py:168-213) are handled."""
     from pathlib import Path
 
     from ..utils import load_checkpoint
 
     if path:
-        candidates = [Path(path)]
+        p = Path(path)
+        if (p.is_file() and p.suffix in (".pth", ".pt")
+                and torch_import is not None):
+            import torch
+
+            from ..train.state import model_variables
+
+            raw = torch.load(p, map_location="cpu", weights_only=False)
+            if isinstance(raw, dict) and "gen_dict" in raw:
+                raw = raw["gen_dict"]
+            new_vars, unmapped = torch_import(model_variables(state), raw)
+            state = state.replace(
+                params=new_vars["params"],
+                batch_stats=new_vars.get("batch_stats", state.batch_stats))
+            logging.info(
+                "imported %s reference torch checkpoint from %s "
+                "(%d torch-side-only keys left at init)",
+                name, p, len(unmapped))
+            return state
+        candidates = [p]
         if subdir:
-            candidates.append(Path(path) / subdir)
+            candidates.append(p / subdir)
         for cand in candidates:
             state, ok = load_checkpoint(state, cand)
             if ok:
@@ -186,15 +217,27 @@ def test_model(args, batches, n_words: int):
     from ..train.state import create_train_state
 
     tx = schedules.adam(lr=args.lr, b1=args.beta1, b2=args.beta2)
-    gen_state = _maybe_load(create_train_state(generator, gvars, tx),
-                            args.checkpoints_folder_path, "generator",
-                            subdir="generator")
-    fgd_state = _maybe_load(create_train_state(fgd_net, fvars, tx),
-                            args.fgd_checkpoint, "FGD")
-    skel_state = _maybe_load(create_train_state(skeleton, svars, tx),
-                             args.skeleton_checkpoint, "skeleton classifier")
-    vae_state = _maybe_load(create_train_state(vae, vvars, tx),
-                            args.cvae_checkpoint, "emotion CVAE")
+    from ..utils import torch_port as tp
+
+    gen_state = _maybe_load(
+        create_train_state(generator, gvars, tx),
+        args.checkpoints_folder_path, "generator", subdir="generator",
+        torch_import=lambda v, sd: tp.torch_state_to_flax_generator(
+            v, sd, n_layers=gen_layers))
+    fgd_state = _maybe_load(
+        create_train_state(fgd_net, fvars, tx), args.fgd_checkpoint, "FGD",
+        torch_import=lambda v, sd: tp.torch_table_to_flax_state(
+            v, sd, tp.fgd_ae_mapping()))
+    skel_state = _maybe_load(
+        create_train_state(skeleton, svars, tx), args.skeleton_checkpoint,
+        "skeleton classifier",
+        torch_import=lambda v, sd: tp.torch_table_to_flax_state(
+            v, sd, tp.skeleton_classifier_mapping(n_layers=3)))
+    vae_state = _maybe_load(
+        create_train_state(vae, vvars, tx), args.cvae_checkpoint,
+        "emotion CVAE",
+        torch_import=lambda v, sd: tp.torch_table_to_flax_state(
+            v, sd, tp.cvae_v3_mapping()))
 
     use_bf16 = getattr(args, "precision", "float32") == "bfloat16"
 

@@ -98,3 +98,55 @@ def test_eval_cli_bf16_precision(tmp_path):
     assert abs(m16["l2"] - m32["l2"]) <= 0.05 * abs(m32["l2"]), (m32, m16)
     assert abs(m16["mpjre_deg"] - m32["mpjre_deg"]) <= \
         0.05 * abs(m32["mpjre_deg"]), (m32, m16)
+
+
+@pytest.mark.slow
+def test_eval_cli_imports_reference_torch_checkpoints(tmp_path):
+    """The eval CLI's checkpoint flags accept reference torch .pth FILES
+    directly (test_...py:149,159,168 layout, DataParallel 'module.'
+    prefixes included) and import them through the torch_port tables."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from emotiongestures_tpu.cli import (
+        test_emotion_gesture_diversity_iterative as eval_cli,
+    )
+    from emotiongestures_tpu.core import schedules
+    from emotiongestures_tpu.models import FGDAutoEncoder
+    from emotiongestures_tpu.train.state import create_train_state
+    from emotiongestures_tpu.utils import torch_port as tp
+
+    # reference-layout .pth for the FGD net (the exported torch state IS
+    # the reference key/shape layout — pinned by test_torch_parity_aux)
+    fgd = FGDAutoEncoder(pose_dim=282)
+    src_vars = fgd.init(jax.random.PRNGKey(42), jnp.zeros((1, 60, 282)))
+    state_dict = {
+        f"module.{k}": torch.tensor(v) for k, v in
+        tp.flax_fgd_ae_to_torch_state(src_vars).items()
+    }
+    pth = tmp_path / "checkpoint_iteration8100.pth"
+    torch.save(state_dict, pth)
+
+    # unit: _maybe_load restores the exact source params from the .pth
+    tx = schedules.adam(lr=1e-4)
+    fresh = fgd.init(jax.random.PRNGKey(7), jnp.zeros((1, 60, 282)))
+    loaded = eval_cli._maybe_load(
+        create_train_state(fgd, fresh, tx), str(pth), "FGD",
+        torch_import=lambda v, sd: tp.torch_table_to_flax_state(
+            v, sd, tp.fgd_ae_mapping()))
+    got = jax.tree_util.tree_leaves(loaded.params)
+    want = jax.tree_util.tree_leaves(src_vars["params"])
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # end-to-end: main() runs with the .pth flag wired in
+    args = eval_cli.build_parser().parse_args([
+        "--synthetic", "8", "--test_batch_size", "8",
+        "--latent_dim", "128", "--d_model", "64", "--gen_layers", "1",
+        "--log_save_path", str(tmp_path / "logs"),
+        "--fgd_checkpoint", str(pth), "--skip_beat",
+    ])
+    metrics = eval_cli.main(args)
+    for key in ("l2", "mpjre_deg", "fgd", "emotion_acc", "diversity"):
+        assert np.isfinite(metrics[key]), (key, metrics)
