@@ -748,6 +748,70 @@ def flax_cvae_v3_to_torch_state(variables):
     return flax_table_to_torch_state(variables, cvae_v3_mapping())
 
 
+_CVAE_STACK5 = ("fc0", "fc1", "fc2", "fc3", "fc4")
+
+
+def cvae_v1_mapping():
+    """Table for models.cvae.EmotionCVAEv1 <-> reference
+    CAVE/BEAT_CVAE.py:30-154 MLP_Reconstruct (per-frame MLP enc/dec,
+    plain fc_mu/fc_var over the flattened 60x32 encoding)."""
+    t = []
+    _seq_linears(t, "Encoder", ("encoder",), _CVAE_STACK5)
+    _seq_linears(t, "Posterior_Y_embedding", ("y_embed",), ("fc1", "fc2"))
+    _linear(t, "fc_mu", ("fc_mu", "fc0"))
+    _linear(t, "fc_var", ("fc_var", "fc0"))
+    _seq_linears(t, "Decoder", ("decoder",), _CVAE_STACK5)
+    _seq_linears(t, "fusion_z_posterior", ("fusion",), ("fc0", "fc1"))
+    return t
+
+
+def cvae_v2_mapping():
+    """Table for models.cvae.EmotionCVAEv2 <-> reference
+    CAVE/BEAT_CVAE.py:157-308 MLP_Reconstruct_v2 (deeper
+    fc_mu/fc_var/fusion Sequentials)."""
+    t = []
+    _seq_linears(t, "Encoder", ("encoder",), _CVAE_STACK5)
+    _seq_linears(t, "Posterior_Y_embedding", ("y_embed",), ("fc1", "fc2"))
+    _seq_linears(t, "fc_mu", ("fc_mu",), _CVAE_STACK5)
+    _seq_linears(t, "fc_var", ("fc_var",), _CVAE_STACK5)
+    _seq_linears(t, "Decoder", ("decoder",), _CVAE_STACK5)
+    _seq_linears(t, "fusion_z_posterior", ("fusion",),
+                 ("fc0", "fc1", "fc2", "fc3"))
+    return t
+
+
+def hand_cvae_mapping():
+    """Table for models.cvae.HandCVAE <-> reference
+    Full_model/BEAT_CVAE.py:30-149 MLP_Reconstruct (legacy per-frame
+    90-d hand CVAE; 90-d pose condition, not a class one-hot)."""
+    t = []
+    _seq_linears(t, "Encoder", ("encoder",), _CVAE_STACK5)
+    _seq_linears(t, "Posterior_Y_embedding", ("y_embed",), ("fc0", "fc1"))
+    _linear(t, "fc_mu", ("fc_mu", "fc0"))
+    _linear(t, "fc_var", ("fc_var", "fc0"))
+    _seq_linears(t, "Decoder", ("decoder",), _CVAE_STACK5)
+    _seq_linears(t, "fusion_z_posterior", ("fusion",), ("fc0", "fc1"))
+    return t
+
+
+def pose_discriminator_mapping(n_layers: int = 3):
+    """Table for models.discriminator.PoseDiscriminator <-> reference
+    Full_model/Models.py:482-510 Pose_Discriminator (3-layer encoder +
+    per-frame sigmoid fc head; only typechecks at d_model == 282)."""
+    t = []
+    _enc_layers(t, "encoder", ("encoder",), n_layers)
+    _seq_linears(t, "fc", (), ("fc1", "fc2"))
+    return t
+
+
+def disnet_mapping():
+    """Table for models.emotion_net.DisNet <-> reference
+    model/audio_emotion_classifer.py:51-70 DisNet."""
+    t = []
+    _seq_linears(t, "dis_fc", (), ("fc1", "fc2", "fc3"))
+    return t
+
+
 def flax_table_to_torch_state(variables, table):
     """Apply a (torch_key, flax_path, kind) table in the flax->torch
     direction."""

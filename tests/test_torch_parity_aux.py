@@ -39,6 +39,8 @@ def ref_path():
         sys.modules["torchvision.utils"] = tv.utils
     if "torch_dct" not in sys.modules:  # imported, never called (SURVEY §0)
         sys.modules["torch_dct"] = types.ModuleType("torch_dct")
+    if "fasttext" not in sys.modules:  # model/vocab.py module-scope import
+        sys.modules["fasttext"] = types.ModuleType("fasttext")
     yield
     sys.path.remove(str(REFERENCE))
 
@@ -297,3 +299,182 @@ def test_gru_import_roundtrip(rng):
         gru_specs=[("gru", ("gru",), 2, True)])
     assert not unmapped
     _assert_trees_equal({k: variables[k] for k in restored}, restored)
+
+
+# ---------------------------------------------------------------------------
+# Remaining CVAE generations + small heads: v1/v2 (forward path only —
+# their reference sample() crashes on an undefined `Input`,
+# CAVE/BEAT_CVAE.py:139, quirk documented in models/cvae.py), the legacy
+# 90-d HandCVAE, Pose_Discriminator, DisNet.
+# ---------------------------------------------------------------------------
+
+
+def _pinned_z_decode_ours(model, variables, y, z):
+    import jax.numpy as jnp
+
+    def inner(mdl, y, z):
+        post_y = mdl.y_embed(y, train=False)
+        return mdl._fuse_decode(jnp.asarray(z), post_y, y.shape[0], False)
+
+    return np.asarray(model.apply(variables, y, z, method=inner))
+
+
+@pytest.mark.parametrize("version", ["v1", "v2"])
+def test_cvae_v1_v2_matches_reference(ref_path, rng, version):
+    """CAVE/BEAT_CVAE.py MLP_Reconstruct (v1, :30-154) and _v2
+    (:157-308): posterior heads exact; decoder tail driven with a
+    pinned z."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    import CAVE.BEAT_CVAE as ref_mod
+
+    from emotiongestures_tpu.models.cvae import (
+        EmotionCVAEv1,
+        EmotionCVAEv2,
+    )
+    from emotiongestures_tpu.utils import torch_port as tp
+
+    if version == "v1":
+        ours, ref = EmotionCVAEv1(), ref_mod.MLP_Reconstruct()
+        table = tp.cvae_v1_mapping()
+    else:
+        ours, ref = EmotionCVAEv2(), ref_mod.MLP_Reconstruct_v2()
+        table = tp.cvae_v2_mapping()
+
+    B = 2
+    x = rng.randn(B, 60, 512).astype(np.float32)
+    y = np.eye(8, dtype=np.float32)[rng.randint(0, 8, B)]
+    variables = ours.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(x), jnp.asarray(y))
+    missing = tp.load_into_torch(
+        ref, tp.flax_table_to_torch_state(variables, table))
+    assert not missing, f"unmapped params: {missing[:10]}"
+    ref.eval()
+
+    _, mu_j, logvar_j = ours.apply(
+        variables, jnp.asarray(x), jnp.asarray(y), train=False,
+        rngs={"sample": jax.random.PRNGKey(2)})
+    with torch.no_grad():
+        _, mu_t, logvar_t = ref(torch.tensor(x), torch.tensor(y))
+    np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(),
+                               rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(logvar_j), logvar_t.numpy(),
+                               rtol=2e-3, atol=1e-4)
+
+    z = rng.randn(B, 32).astype(np.float32)
+    out_j = _pinned_z_decode_ours(ours, variables, jnp.asarray(y), z)
+    with torch.no_grad():
+        post_y = ref.Posterior_Y_embedding(torch.tensor(y))
+        zz = torch.cat([torch.tensor(z), post_y], dim=1)
+        zz = ref.fusion_z_posterior(zz).reshape(B, 60, 32)
+        out_t = ref.Decoder(zz).numpy()
+    np.testing.assert_allclose(out_j, out_t, rtol=2e-3, atol=1e-4)
+
+
+def test_hand_cvae_matches_reference(ref_path, rng):
+    """Full_model/BEAT_CVAE.py:30-149 legacy 90-d hand CVAE (condition
+    is a 90-d pose, not a class one-hot)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from Full_model.BEAT_CVAE import MLP_Reconstruct as RefHand
+
+    from emotiongestures_tpu.models.cvae import HandCVAE
+    from emotiongestures_tpu.utils import torch_port as tp
+
+    B = 3
+    x = rng.randn(B, 90).astype(np.float32)
+    y = rng.randn(B, 90).astype(np.float32)
+    ours = HandCVAE()
+    variables = ours.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(x), jnp.asarray(y))
+    ref = RefHand()
+    missing = tp.load_into_torch(
+        ref, tp.flax_table_to_torch_state(variables, tp.hand_cvae_mapping()))
+    assert not missing, f"unmapped params: {missing[:10]}"
+    ref.eval()
+
+    _, mu_j, logvar_j = ours.apply(
+        variables, jnp.asarray(x), jnp.asarray(y), train=False,
+        rngs={"sample": jax.random.PRNGKey(2)})
+    with torch.no_grad():
+        _, mu_t, logvar_t = ref(torch.tensor(x), torch.tensor(y))
+    np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(),
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(logvar_j), logvar_t.numpy(),
+                               rtol=2e-3, atol=1e-5)
+
+    z = rng.randn(B, 32).astype(np.float32)
+
+    def inner(mdl, y, z):
+        import jax.numpy as jnp
+
+        post_y = mdl.y_embed(y, train=False)
+        return mdl._fuse_decode(jnp.asarray(z), post_y, False)
+
+    out_j = np.asarray(ours.apply(variables, jnp.asarray(y), z,
+                                  method=inner))
+    with torch.no_grad():
+        post_y = ref.Posterior_Y_embedding(torch.tensor(y))
+        zz = torch.cat([torch.tensor(z), post_y], dim=1)
+        out_t = ref.Decoder(ref.fusion_z_posterior(zz)).numpy()
+    np.testing.assert_allclose(out_j, out_t, rtol=2e-3, atol=1e-5)
+
+
+def test_pose_discriminator_matches_reference(ref_path, rng):
+    """Full_model/Models.py:482-510 Pose_Discriminator at d_model=282
+    (the only width where its hard-coded fc Linear(282, 64) typechecks)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from Full_model.Models import Pose_Discriminator as RefDis
+
+    from emotiongestures_tpu.models.discriminator import PoseDiscriminator
+    from emotiongestures_tpu.utils import torch_port as tp
+
+    B = 2
+    poses = rng.randn(B, 60, 282).astype(np.float32)
+    ours = PoseDiscriminator()
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(poses))
+    ref = RefDis(d_word_vec=282, d_model=282, d_inner=1024, n_layers=3)
+    missing = tp.load_into_torch(
+        ref, tp.flax_table_to_torch_state(
+            variables, tp.pose_discriminator_mapping()))
+    assert not missing, f"unmapped params: {missing[:10]}"
+    ref.eval()
+    out_j = np.asarray(ours.apply(variables, jnp.asarray(poses),
+                                  train=False))
+    with torch.no_grad():
+        out_t = ref(torch.tensor(poses)).numpy()
+    np.testing.assert_allclose(out_j, out_t, rtol=2e-3, atol=1e-5)
+
+
+def test_disnet_matches_reference(ref_path, rng):
+    """model/audio_emotion_classifer.py:51-70 DisNet."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from model.audio_emotion_classifer import DisNet as RefDis
+
+    from emotiongestures_tpu.models.emotion_net import DisNet
+    from emotiongestures_tpu.utils import torch_port as tp
+
+    feat = rng.randn(4, 128).astype(np.float32)
+    ours = DisNet()
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(feat))
+    ref = RefDis()
+    missing = tp.load_into_torch(
+        ref, tp.flax_table_to_torch_state(variables, tp.disnet_mapping()))
+    assert not missing, f"unmapped params: {missing[:10]}"
+    ref.eval()
+    out_j = np.asarray(ours.apply(variables, jnp.asarray(feat)))
+    with torch.no_grad():
+        out_t = ref(torch.tensor(feat)).numpy()
+    np.testing.assert_allclose(out_j, out_t, rtol=2e-3, atol=1e-5)
