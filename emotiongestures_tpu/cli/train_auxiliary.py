@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "train CLIs")
     parser.add_argument("--prefetch", type=int, default=2,
                         help="host->device prefetch depth; 0 = synchronous")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the latest checkpoint under "
+                             "<model_save_path>/<model>/ — also the "
+                             "fine-tune entry for reference .pth weights "
+                             "imported by egtp-convert-checkpoint")
     return parser
 
 
@@ -151,6 +156,15 @@ def main(args=None):
             return cvae_train.train_step(st, feats, batch["eid_label"],
                                          rng, beta=args.kl_beta)
 
+    save_dir = os.path.join(args.model_save_path, args.model)
+    if args.resume:
+        from ..utils import load_checkpoint
+
+        state, ok = load_checkpoint(state, save_dir)
+        if ok:
+            logging.info("resumed %s from step %d", args.model,
+                         int(state.step))
+
     from .. import parallel
     from ..data.pipeline import Prefetcher
 
@@ -175,7 +189,6 @@ def main(args=None):
 
     global_iter = 0
     start = time.time()
-    save_dir = os.path.join(args.model_save_path, args.model)
     for epoch in range(args.total_epoch):
         for batch in epoch_batches(epoch):
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1),

@@ -45,6 +45,15 @@ def test_train_auxiliary_main(tmp_path, model):
     assert int(state.step) >= 1
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert np.isfinite(np.asarray(leaf)).all()
+    if model == "fgd":
+        # --resume (the egtp-convert-checkpoint fine-tune entry) restores
+        # the saved state and continues the step counter
+        resumed = cli.main(cli.build_parser().parse_args([
+            "--model", model, "--synthetic", "16", "--batch_size", "8",
+            "--total_epoch", "1", "--save_every", "100",
+            "--model_save_path", str(tmp_path / model), "--resume",
+        ]))
+        assert int(resumed.step) == int(state.step) * 2
 
 
 def test_console_script_wrappers_return_none():
@@ -108,3 +117,79 @@ def test_train_emotion_gesture_dp_mesh_matches_single_device(tmp_path):
 # tests/test_parallel.py::test_dp_classifier_train_matches_single_device,
 # and the identical CLI wiring is covered end-to-end for the GAN trainer
 # below.
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    """egtp-convert-checkpoint: reference .pth -> orbax TrainState that
+    the eval CLI's orbax path then restores bit-exactly."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from emotiongestures_tpu.cli import convert_checkpoint as cli
+    from emotiongestures_tpu.core import schedules
+    from emotiongestures_tpu.models import FGDAutoEncoder
+    from emotiongestures_tpu.train.state import create_train_state
+    from emotiongestures_tpu.utils import load_checkpoint
+    from emotiongestures_tpu.utils import torch_port as tp
+
+    fgd = FGDAutoEncoder(pose_dim=282)
+    src = fgd.init(jax.random.PRNGKey(5), jnp.zeros((1, 60, 282)))
+    pth = tmp_path / "checkpoint_iteration8100.pth"
+    torch.save({f"module.{k}": torch.tensor(v) for k, v in
+                tp.flax_fgd_ae_to_torch_state(src).items()}, pth)
+
+    out = cli.main(cli.build_parser().parse_args([
+        "--kind", "fgd", "--input", str(pth),
+        "--output", str(tmp_path / "orbax")]))
+
+    fresh = create_train_state(
+        fgd, fgd.init(jax.random.PRNGKey(9), jnp.zeros((1, 60, 282))),
+        schedules.adam(lr=1e-4))
+    restored, ok = load_checkpoint(fresh, out)
+    assert ok
+    got = jax.tree_util.tree_leaves(restored.params)
+    want = jax.tree_util.tree_leaves(src["params"])
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_convert_checkpoint_cli_cvae_rich_dict(tmp_path):
+    """The cvae kind exercises the sample-rng init branch and the
+    rich-dict 'gen_dict' unwrap (utils/train_utils.py:168-213 layout)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from emotiongestures_tpu.cli import convert_checkpoint as cli
+    from emotiongestures_tpu.core import schedules
+    from emotiongestures_tpu.models import EmotionCVAEv3
+    from emotiongestures_tpu.train.state import create_train_state
+    from emotiongestures_tpu.utils import load_checkpoint
+    from emotiongestures_tpu.utils import torch_port as tp
+
+    vae = EmotionCVAEv3(feat_dim=512)
+    feats = jnp.zeros((1, 60, 512), jnp.float32)
+    y = jnp.zeros((1, 8), jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(3),
+            "sample": jax.random.PRNGKey(4)}
+    src = vae.init(rngs, feats, y)
+    pth = tmp_path / "checkpoint_iteration35200.pth"
+    torch.save(
+        {"gen_dict": {k: torch.tensor(v) for k, v in
+                      tp.flax_cvae_v3_to_torch_state(src).items()}}, pth)
+
+    out = cli.main(cli.build_parser().parse_args([
+        "--kind", "cvae", "--input", str(pth),
+        "--output", str(tmp_path / "orbax")]))
+
+    fresh = create_train_state(
+        vae, vae.init({"params": jax.random.PRNGKey(9),
+                       "sample": jax.random.PRNGKey(10)}, feats, y),
+        schedules.adam(lr=1e-4))
+    restored, ok = load_checkpoint(fresh, out)
+    assert ok
+    got = jax.tree_util.tree_leaves(restored.params)
+    want = jax.tree_util.tree_leaves(src["params"])
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
