@@ -154,6 +154,59 @@ def test_convert_checkpoint_cli(tmp_path):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+@pytest.mark.parametrize("kind", ["generator", "skeleton", "emotion_net",
+                                  "cvae_v1"])
+def test_convert_checkpoint_cli_kinds(tmp_path, kind):
+    """Round-trip every remaining converter kind: build the flax model the
+    CLI's _build wiring constructs, export its init to a reference-style
+    state_dict, convert, and check the orbax restore is bit-exact."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from emotiongestures_tpu.cli import convert_checkpoint as cli
+    from emotiongestures_tpu.core import schedules
+    from emotiongestures_tpu.train.state import create_train_state
+    from emotiongestures_tpu.utils import load_checkpoint
+    from emotiongestures_tpu.utils import torch_port as tp
+
+    flags = ["--kind", kind, "--input", str(tmp_path / "ref.pth"),
+             "--output", str(tmp_path / "orbax")]
+    if kind in ("generator", "skeleton"):
+        flags += ["--d_model", "64", "--latent_dim", "128"]
+    if kind == "generator":
+        flags += ["--gen_layers", "1"]
+    args = cli.build_parser().parse_args(flags)
+
+    model, init_args, needs_sample, _ = cli._build(args)
+    rngs = {"params": jax.random.PRNGKey(7)}
+    if needs_sample:
+        rngs["sample"] = jax.random.PRNGKey(8)
+    src = model.init(rngs, *init_args)
+    export = {
+        "generator": lambda v: tp.flax_generator_to_torch_state(
+            v, n_layers=1),
+        "skeleton": lambda v: tp.flax_skeleton_classifier_to_torch_state(
+            v, n_layers=3),
+        "emotion_net": tp.flax_emotion_net_to_torch_state,
+        "cvae_v1": lambda v: tp.flax_table_to_torch_state(
+            v, tp.cvae_v1_mapping()),
+    }[kind]
+    torch.save({k: torch.tensor(v) for k, v in export(src).items()},
+               tmp_path / "ref.pth")
+
+    out = cli.main(args)
+
+    fresh = create_train_state(model, model.init(
+        {k: jax.random.fold_in(r, 1) for k, r in rngs.items()},
+        *init_args), schedules.adam(lr=1e-4))
+    restored, ok = load_checkpoint(fresh, out)
+    assert ok
+    for g, w in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(src["params"])):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_convert_checkpoint_cli_cvae_rich_dict(tmp_path):
     """The cvae kind exercises the sample-rng init branch and the
     rich-dict 'gen_dict' unwrap (utils/train_utils.py:168-213 layout)."""
