@@ -106,11 +106,11 @@ def main(args=None):
     if args is None:
         args = build_parser().parse_args()
     import jax
-    import torch
 
     from ..core import schedules
     from ..train.state import create_train_state
     from ..utils import save_checkpoint
+    from ..utils.torch_port import load_reference_state_dict
 
     model, init_args, needs_sample, torch_import = _build(args)
     rngs = {"params": jax.random.PRNGKey(0)}
@@ -118,10 +118,8 @@ def main(args=None):
         rngs["sample"] = jax.random.PRNGKey(1)
     variables = model.init(rngs, *init_args)
 
-    raw = torch.load(args.input, map_location="cpu", weights_only=False)
-    if isinstance(raw, dict) and "gen_dict" in raw:
-        raw = raw["gen_dict"]
-    new_vars, unmapped = torch_import(variables, raw)
+    new_vars, unmapped = torch_import(
+        variables, load_reference_state_dict(args.input))
 
     state = create_train_state(
         model, new_vars, schedules.adam(lr=args.lr))

@@ -134,13 +134,10 @@ def _maybe_load(state, path, name, subdir: str | None = None,
         p = Path(path)
         if (p.is_file() and p.suffix in (".pth", ".pt")
                 and torch_import is not None):
-            import torch
-
             from ..train.state import model_variables
+            from ..utils.torch_port import load_reference_state_dict
 
-            raw = torch.load(p, map_location="cpu", weights_only=False)
-            if isinstance(raw, dict) and "gen_dict" in raw:
-                raw = raw["gen_dict"]
+            raw = load_reference_state_dict(p)
             new_vars, unmapped = torch_import(model_variables(state), raw)
             state = state.replace(
                 params=new_vars["params"],
@@ -275,7 +272,7 @@ def test_model(args, batches, n_words: int):
                       model_variables(skel_state), model_variables(vae_state))
 
     from .. import parallel
-    from ..data.pipeline import Prefetcher
+    from ..data.pipeline import Prefetcher, place_batches
 
     mesh = parallel.dp_setup(getattr(args, "num_devices", 1),
                              args.test_batch_size)
@@ -286,14 +283,17 @@ def test_model(args, batches, n_words: int):
                      dict(mesh.shape), args.test_batch_size,
                      args.test_batch_size // mesh.shape["data"])
     prefetch = getattr(args, "prefetch", 2)
+    serving_sharding = (parallel.batch_sharding(mesh) if mesh is not None
+                        else None)
     if prefetch > 0:
         # overlap host batch assembly + (sharded) H2D with device compute;
         # audio stays host-side numpy for the beat frontend
         batches = Prefetcher(
             batches, buffer_size=prefetch,
-            sharding=parallel.batch_sharding(mesh) if mesh is not None
-            else None,
-            host_keys=("audio",))
+            sharding=serving_sharding, host_keys=("audio",))
+    else:
+        batches = place_batches(batches, sharding=serving_sharding,
+                                host_keys=("audio",))
 
     aligner = BeatAligner(0.3, 2)
     t_start = 0

@@ -95,12 +95,15 @@ def _emotion_features(args, batch, n_words: int):
         logging.warning("no --generator_checkpoint: CVAE features come "
                         "from a randomly initialised generator")
 
+    # variables enter as an ARGUMENT: closing over them embeds ~181 MB of
+    # fp32 HLO constants at the default geometry and the remote-compile
+    # tunnel rejects bodies >~100 MB (the round-2 demo-CLI bug)
     @jax.jit
-    def features(spec, text, prior):
+    def _features(gvars, spec, text, prior):
         _, emo, _, _, _ = gen.apply(gvars, spec, text, prior, train=False)
         return emo
 
-    return features
+    return lambda spec, text, prior: _features(gvars, spec, text, prior)
 
 
 def main(args=None):
@@ -166,7 +169,7 @@ def main(args=None):
                          int(state.step))
 
     from .. import parallel
-    from ..data.pipeline import Prefetcher
+    from ..data.pipeline import Prefetcher, place_batches
 
     mesh = parallel.dp_setup(args.num_devices, args.batch_size)
     if mesh is not None:
@@ -185,7 +188,7 @@ def main(args=None):
         if args.prefetch > 0:
             return Prefetcher(raw, buffer_size=args.prefetch,
                               sharding=sharding)
-        return raw
+        return place_batches(raw, sharding=sharding)
 
     global_iter = 0
     start = time.time()

@@ -68,7 +68,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(args=None):
     from .. import parallel
     from ..core.schedules import staged_lr
-    from ..data.pipeline import Prefetcher
+    from ..data.pipeline import Prefetcher, place_batches
     from ..train import gan
     from ..utils import load_checkpoint, save_checkpoint, set_logger
     from ..utils.logging import MetricLogger
@@ -170,26 +170,28 @@ def main(args=None):
         from ..parallel import distributed
 
         proc_rows = distributed.process_batch_slice(args.batch_size)
-        place = lambda v: distributed.host_local_batch(v[proc_rows], mesh)
+        place = lambda v: distributed.host_local_batch(v, mesh)
     else:
+        proc_rows = None
         place = None
 
     def epoch_batches(epoch):
         """Stream batches through the host prefetcher: assembly + H2D
         transfer (sharded over the mesh when data-parallel) overlap with
         the device step — the torch DataLoader workers+pin_memory role
-        (train_...py:121-124). Multi-host: each process keeps only its
-        `process_batch_slice` rows and the global array is assembled via
-        make_array_from_process_local_data."""
+        (train_...py:121-124). Multi-host: every process walks the SAME
+        seeded permutation but assembles only its `process_batch_slice`
+        rows (`rows=`), and the global array is built from those local
+        rows via make_array_from_process_local_data — no host ever
+        materialises the global batch."""
         raw = ({k: b[k] for k in _KEYS}
                for b in dataset.batches(args.batch_size, shuffle=True,
-                                        seed=args.seed + epoch))
+                                        seed=args.seed + epoch,
+                                        rows=proc_rows))
         if args.prefetch > 0:
             return Prefetcher(raw, buffer_size=args.prefetch,
                               sharding=sharding, place=place)
-        if place is not None:
-            return ({k: place(v) for k, v in b.items()} for b in raw)
-        return raw
+        return place_batches(raw, sharding=sharding, place=place)
 
     # multi-host: only process 0 writes checkpoints (all processes hold
     # identical replicated states)
@@ -203,13 +205,13 @@ def main(args=None):
         # timeout, so the processes must reach it together — compile-time
         # divergence (cache hit on one host, miss on another) would blow
         # that window
+        rows_local = proc_rows.stop - proc_rows.start
         dummy = {
-            "spectrogram": np.zeros((args.batch_size, 128, 124),
-                                    np.float32),
-            "text": np.zeros((args.batch_size, args.n_frames), np.int32),
-            "pose_seq": np.zeros((args.batch_size, args.n_frames,
+            "spectrogram": np.zeros((rows_local, 128, 124), np.float32),
+            "text": np.zeros((rows_local, args.n_frames), np.int32),
+            "pose_seq": np.zeros((rows_local, args.n_frames,
                                   args.pose_dim), np.float32),
-            "eid_label": np.zeros((args.batch_size, 8), np.float32),
+            "eid_label": np.zeros((rows_local, 8), np.float32),
         }
         dummy = {k: place(v) for k, v in dummy.items()}
         rng0 = jax.random.PRNGKey(0)

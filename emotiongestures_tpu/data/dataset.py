@@ -182,7 +182,9 @@ class SpeechMotionDataset:
         return sample
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
-                drop_last: bool = True):
+                drop_last: bool = True, rows: slice | None = None):
+        """`rows` restricts each batch to that slice of its index window
+        (multi-host per-process assembly — see SyntheticGestureDataset)."""
         from .synthetic import make_batch
 
         order = np.arange(len(self))
@@ -190,7 +192,10 @@ class SpeechMotionDataset:
             np.random.RandomState(seed).shuffle(order)
         end = len(self) - len(self) % batch_size if drop_last else len(self)
         for i in range(0, end, batch_size):
-            yield make_batch([self[int(j)] for j in order[i:i + batch_size]])
+            window = order[i:i + batch_size]
+            if rows is not None:
+                window = window[rows]
+            yield make_batch([self[int(j)] for j in window])
 
 
 class TedSpeechMotionDataset(SpeechMotionDataset):

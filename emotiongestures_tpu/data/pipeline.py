@@ -103,6 +103,24 @@ class Prefetcher:
             yield item
 
 
+def place_batches(batches: Iterator[dict], device=None, sharding=None,
+                  host_keys=(), place=None):
+    """Synchronous counterpart of Prefetcher's placement (`--prefetch 0`
+    paths): apply the same device/sharding/place handoff per batch with
+    no background thread. With no placement requested, batches pass
+    through as numpy. Keeping this in lockstep with Prefetcher._put means
+    a data-parallel mesh gets its sharded H2D transfer whether or not
+    prefetching is enabled."""
+    host_keys = frozenset(host_keys)
+    if place is None:
+        target = sharding or device
+        place = (lambda v: jax.device_put(v, target)) \
+            if target is not None else (lambda v: v)
+    for batch in batches:
+        yield {k: v if k in host_keys else place(v)
+               for k, v in batch.items()}
+
+
 def store_batches(store, field_names, batch_size: int, labels_fn=None,
                   shuffle: bool = True, seed: int = 0,
                   n_threads: int = 0):

@@ -117,7 +117,11 @@ class SyntheticGestureDataset:
         }
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
-                drop_last: bool = True):
+                drop_last: bool = True, rows: slice | None = None):
+        """`rows` restricts each batch to that slice of its index window
+        (multi-host: every process computes the same seeded permutation
+        but assembles only its `process_batch_slice` rows, so no host
+        materialises the global batch)."""
         order = np.arange(self.n_samples)
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
@@ -127,7 +131,10 @@ class SyntheticGestureDataset:
             else self.n_samples
         )
         for i in range(0, end, batch_size):
-            yield make_batch([self[j] for j in order[i : i + batch_size]])
+            window = order[i : i + batch_size]
+            if rows is not None:
+                window = window[rows]
+            yield make_batch([self[j] for j in window])
 
 
 def make_batch(samples):

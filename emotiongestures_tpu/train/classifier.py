@@ -152,15 +152,14 @@ def _index_batches(dataset, indices, batch_size: int):
 def _batch_stream(dataset, indices, batch_size: int, mesh, prefetch: int):
     """Batch iterator, optionally prefetched + mesh-sharded (the torch
     DataLoader workers+pin_memory role, train_...py:121-124)."""
-    raw = _index_batches(dataset, indices, batch_size)
-    if prefetch <= 0:
-        return raw
-    from ..data.pipeline import Prefetcher
+    from ..data.pipeline import Prefetcher, place_batches
     from ..parallel import batch_sharding
 
-    return Prefetcher(raw, buffer_size=prefetch,
-                      sharding=batch_sharding(mesh) if mesh is not None
-                      else None)
+    raw = _index_batches(dataset, indices, batch_size)
+    sharding = batch_sharding(mesh) if mesh is not None else None
+    if prefetch <= 0:
+        return place_batches(raw, sharding=sharding)
+    return Prefetcher(raw, buffer_size=prefetch, sharding=sharding)
 
 
 def train_k_fold(

@@ -884,6 +884,21 @@ def torch_table_to_flax_state(variables, torch_state, table,
     return new_vars, unmapped
 
 
+def load_reference_state_dict(path, map_location="cpu"):
+    """torch.load a reference checkpoint and return the flat state_dict:
+    unwraps the rich-dict 'gen_dict' layout (utils/train_utils.py:168-213)
+    when present. 'module.' DataParallel prefixes are left for
+    torch_table_to_flax_state / torch_state_to_flax_generator to strip.
+    Shared by egtp-convert-checkpoint and the eval CLI's .pth importer so
+    layout handling cannot drift between them."""
+    import torch
+
+    raw = torch.load(path, map_location=map_location, weights_only=False)
+    if isinstance(raw, dict) and "gen_dict" in raw:
+        raw = raw["gen_dict"]
+    return raw
+
+
 def load_reference_dict_checkpoint(path, map_location="cpu"):
     """Load the reference's rich dict checkpoints
     (utils/train_utils.py:168-213): {'args', 'epoch', 'lang_model',

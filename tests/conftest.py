@@ -21,6 +21,16 @@ import numpy as np
 import pytest
 
 
+def pytest_collection_modifyitems(config, items):
+    """Run test_parallel.py first. Its DP-GAN compiles are the largest
+    executables the suite caches; writing them ~120 tests deep in one
+    process SEGFAULTS inside jax's compilation_cache.put_executable_and_
+    time on a cold cache (reproduced twice 2026-08-17), while the same
+    file passes standalone. Fronting it makes cold-cache full-suite runs
+    survive and warms the big entries for everything after."""
+    items.sort(key=lambda it: 0 if "test_parallel" in it.nodeid else 1)
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(1234)

@@ -48,6 +48,46 @@ def test_prefetcher_matches_sequential():
             b["pose_seq"]))
 
 
+def test_place_batches_shards_like_prefetcher():
+    """The synchronous (--prefetch 0) path must land batches on the mesh
+    sharding exactly like the Prefetcher does — a data-parallel mesh with
+    prefetching disabled previously got unsharded numpy batches."""
+    import jax
+
+    from emotiongestures_tpu.data.pipeline import place_batches
+    from emotiongestures_tpu.parallel import batch_sharding, make_mesh
+
+    mesh = make_mesh(n_data=4)
+    sharding = batch_sharding(mesh)
+    ds = SyntheticGestureDataset(n_samples=8)
+    placed = list(place_batches(ds.batches(4, shuffle=False),
+                                sharding=sharding, host_keys=("audio",)))
+    assert len(placed) == 2
+    for batch in placed:
+        assert isinstance(batch["pose_seq"], jax.Array)
+        assert batch["pose_seq"].sharding.is_equivalent_to(
+            sharding, batch["pose_seq"].ndim)
+        assert isinstance(batch["audio"], np.ndarray)  # host key
+    # passthrough when no placement requested
+    plain = next(iter(place_batches(ds.batches(4, shuffle=False))))
+    assert isinstance(plain["pose_seq"], np.ndarray)
+
+
+def test_batches_rows_slice_assembles_only_local_rows():
+    """dataset.batches(rows=...): every process walks the same permutation
+    but assembles only its process_batch_slice rows (multi-host host-side
+    scaling — no host materialises the global batch)."""
+    ds = SyntheticGestureDataset(n_samples=8)
+    full = list(ds.batches(4, shuffle=True, seed=3))
+    lo = list(ds.batches(4, shuffle=True, seed=3, rows=slice(0, 2)))
+    hi = list(ds.batches(4, shuffle=True, seed=3, rows=slice(2, 4)))
+    assert len(full) == len(lo) == len(hi) == 2
+    for f, a, b in zip(full, lo, hi):
+        assert a["pose_seq"].shape[0] == 2
+        np.testing.assert_array_equal(f["pose_seq"][:2], a["pose_seq"])
+        np.testing.assert_array_equal(f["pose_seq"][2:], b["pose_seq"])
+
+
 def test_prefetcher_propagates_errors():
     def bad_iter():
         yield {"x": np.zeros(3)}
