@@ -173,3 +173,67 @@ def test_ted_expressive_fallback_on_cache_without_vec_seq(tmp_path, rng):
     s = ds[0]
     assert s["vec_seq"].shape == (34, 126)
     assert np.isfinite(s["vec_seq"]).all()
+
+
+def test_legacy_submodules_factories(rng):
+    """model/audio_emotion_classifer_submodules.py equivalents: factory
+    ordering (core -> BN -> act), bias omitted under a normalizer, and the
+    documented-fixed conv3d lets ResidualBlock construct and run."""
+    from emotiongestures_tpu.models import legacy_submodules as sub
+
+    x = jnp.asarray(rng.randn(2, 8, 8, 4), jnp.float32)
+
+    def leaf_names(variables):
+        return {"/".join(str(k.key) for k in path)
+                for path, _ in jax.tree_util.tree_flatten_with_path(
+                    variables["params"])[0]}
+
+    m = sub.conv2d(6)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    # bias=False whenever a normalizer is present (reference :30)
+    assert not any(n.endswith("bias") and "Conv" in n
+                   for n in leaf_names(variables))
+    y = m.apply(variables, x, train=False)
+    assert y.shape == (2, 8, 8, 6)
+    assert float(jnp.min(y)) >= 0.0  # activation applied LAST
+
+    mb = sub.conv2d(6, normalizer=False, activation=None)
+    vb = mb.init(jax.random.PRNGKey(0), x)
+    assert any(n.endswith("bias") for n in leaf_names(vb))
+    assert not any(n.startswith("norm") for n in leaf_names(vb))
+
+    lin = sub.linear(5)
+    vl = lin.init(jax.random.PRNGKey(0), x.reshape(2, -1))
+    out = lin.apply(vl, x.reshape(2, -1))
+    assert out.shape == (2, 5) and float(jnp.min(out)) >= 0.0
+
+    tr = sub.conv_transpose2d(3)
+    vt = tr.init(jax.random.PRNGKey(0), x)
+    yt = tr.apply(vt, x)
+    assert yt.shape == (2, 16, 16, 3)  # k=4,s=2,p=1 doubles H,W
+
+
+def test_legacy_nn_conv2d_upsample_matches_torch(rng):
+    """nn_conv2d's nearest upsample == torch UpsamplingNearest2d."""
+    from emotiongestures_tpu.models.legacy_submodules import (
+        jnp_broadcast_nearest)
+
+    x = rng.randn(2, 5, 7, 3).astype(np.float32)
+    ours = np.asarray(jnp_broadcast_nearest(
+        jnp.asarray(x)[:, :, None, :, None, :], 2, 5, 7, 3, 2))
+    ref = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                        scale_factor=2, mode="nearest")
+    np.testing.assert_allclose(ours, ref.permute(0, 2, 3, 1).numpy())
+
+
+def test_legacy_residual_block(rng):
+    """ResidualBlock constructs (NameError in the reference) and keeps the
+    plain-ReLU quirk: outputs are nonnegative."""
+    from emotiongestures_tpu.models.legacy_submodules import ResidualBlock
+
+    x = jnp.asarray(rng.randn(2, 4, 4, 4, 8), jnp.float32)  # NDHWC
+    blk = ResidualBlock(channel_out=8)
+    variables = blk.init(jax.random.PRNGKey(0), x)
+    y = blk.apply(variables, x, train=False)
+    assert y.shape == x.shape
+    assert float(jnp.min(y)) >= 0.0
