@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_processes", type=int, default=None,
                         help="total process count for jax.distributed")
     parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace (TensorBoard/"
+                             "Perfetto) of --profile_steps steady-state "
+                             "steps into this directory (skips the first "
+                             "compile-dominated steps)")
+    parser.add_argument("--profile_steps", type=int, default=5)
     return parser
 
 
@@ -235,6 +241,11 @@ def main(args=None):
     metrics_log = MetricLogger(
         os.path.join(args.model_save_path, "metrics.jsonl"))
     global_iter = int(gen_state.step)
+    # --profile_dir: trace a steady-state window (first steps are compile
+    # dominated — ~5-10 min cold on this TPU, CLAUDE.md), starting after
+    # step 3 of this run
+    profile_at = global_iter + 3 if args.profile_dir else None
+    profiling = False
     start = time.time()
     for epoch in range(args.total_epoch):
         # the ladder itself is applied inside the jitted optimizer via
@@ -244,9 +255,19 @@ def main(args=None):
         for batch in epoch_batches(epoch):
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1),
                                      global_iter)
+            if profile_at is not None and global_iter == profile_at:
+                jax.profiler.start_trace(args.profile_dir)
+                profiling = True
             gen_state, disc_state, metrics = gan.train_step(
                 gen_state, disc_state, batch, rng, cfg, use_disc=use_disc)
             global_iter += 1
+            if profiling and global_iter >= profile_at + args.profile_steps:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
+                profiling = False
+                logging.info("profiler trace written to %s",
+                             args.profile_dir)
             if global_iter % 10 == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 logging.info(
@@ -259,6 +280,9 @@ def main(args=None):
                     metrics_log.log(global_iter, **m)
             if global_iter % args.save_every == 0:
                 save_all()
+    if profiling:  # run ended inside the window
+        jax.profiler.stop_trace()
+        logging.info("profiler trace written to %s", args.profile_dir)
     save_all()
     logging.info("done: %d iters in %.1fs", global_iter,
                  time.time() - start)

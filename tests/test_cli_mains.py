@@ -246,3 +246,22 @@ def test_convert_checkpoint_cli_cvae_rich_dict(tmp_path):
     want = jax.tree_util.tree_leaves(src["params"])
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.slow
+def test_train_emotion_gesture_profile_dir(tmp_path):
+    """--profile_dir captures a jax.profiler trace of the steady-state
+    window (starts after step 3, so 2 epochs x 2 iters reaches it)."""
+    from emotiongestures_tpu.cli import train_emotion_gesture as cli
+
+    trace_dir = tmp_path / "trace"
+    args = cli.build_parser().parse_args([
+        "--synthetic", "16", "--batch_size", "8", "--total_epoch", "2",
+        "--d_model", "64", "--latent_dim", "128", "--gen_layers", "1",
+        "--save_every", "100", "--model_save_path", str(tmp_path / "run"),
+        "--profile_dir", str(trace_dir), "--profile_steps", "1",
+    ])
+    gen, _ = cli.main(args)
+    assert int(gen.step) == 4
+    traces = list(trace_dir.rglob("*.xplane.pb"))
+    assert traces, f"no profiler trace written under {trace_dir}"
