@@ -62,6 +62,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_processes", type=int, default=None,
                         help="total process count for jax.distributed")
     parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="tensor-parallel degree: shard the "
+                             "transformer FFN/MHA kernels (and their Adam "
+                             "moments) over a `model` mesh axis, batch over "
+                             "the remaining `data` axis — "
+                             "parallel/mesh.py tp_param_shardings (Megatron "
+                             "layout, XLA inserts the psum over ICI). "
+                             "Single-host only; beyond reference parity "
+                             "(the reference has no model parallelism)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace (TensorBoard/"
                              "Perfetto) of --profile_steps steady-state "
@@ -134,14 +143,22 @@ def main(args=None):
         update_order=args.update_order)
     gen_state, disc_state = gan.create_states(cfg, jax.random.PRNGKey(
         args.seed))
+    tp = getattr(args, "model_parallel", 1) > 1
     if multihost:
         from ..parallel import distributed
 
+        if tp:
+            raise SystemExit("--model_parallel is single-host only "
+                             "(combine with --num_devices, not "
+                             "--coordinator_address)")
         mesh = distributed.global_mesh()
         if args.batch_size % mesh.shape["data"]:
             raise SystemExit(
                 f"--batch_size {args.batch_size} must divide over the "
                 f"{mesh.shape['data']}-device global mesh")
+    elif tp:
+        mesh = parallel.tp_setup(args.num_devices, args.model_parallel,
+                                 args.batch_size)
     else:
         mesh = parallel.dp_setup(args.num_devices, args.batch_size)
     if args.resume:
@@ -163,10 +180,14 @@ def main(args=None):
 
             gen_state = distributed.replicate_to_global(gen_state, mesh)
             disc_state = distributed.replicate_to_global(disc_state, mesh)
+        elif tp:
+            gen_state = parallel.shard_state_tp(gen_state, mesh)
+            disc_state = parallel.shard_state_tp(disc_state, mesh)
         else:
             gen_state = parallel.replicate_state(gen_state, mesh)
             disc_state = parallel.replicate_state(disc_state, mesh)
-        logging.info("data-parallel mesh: %s (global batch %d -> %d/chip)",
+        logging.info("%s mesh: %s (global batch %d -> %d/chip)",
+                     "data x model" if tp else "data-parallel",
                      dict(mesh.shape), args.batch_size,
                      args.batch_size // mesh.shape["data"])
 

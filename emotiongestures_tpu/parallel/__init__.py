@@ -8,5 +8,7 @@ from .mesh import (  # noqa: F401
     replicate_state,
     resolve_num_devices,
     shard_batch,
+    shard_state_tp,
     tp_param_shardings,
+    tp_setup,
 )

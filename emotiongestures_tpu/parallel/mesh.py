@@ -88,6 +88,45 @@ def dp_setup(num_devices: int, batch_size: int):
     return make_mesh(n_data=n)
 
 
+def tp_setup(num_devices: int, model_parallel: int, batch_size: int):
+    """Build the 2-D (data, model) mesh for `--model_parallel` runs.
+
+    `num_devices` keeps the CLI semantics of resolve_num_devices (0 =
+    all visible). The device count must factor as n_data x model_parallel
+    and the global batch must divide over n_data. Returns None when the
+    result would be a trivial 1x1 mesh."""
+    n = resolve_num_devices(num_devices)
+    if n % model_parallel:
+        raise SystemExit(
+            f"--model_parallel {model_parallel} must divide the "
+            f"{n}-device mesh")
+    n_data = n // model_parallel
+    if n_data > 1 and batch_size % n_data:
+        raise SystemExit(
+            f"--batch_size {batch_size} must be divisible by the "
+            f"data axis ({n_data} = {n} devices / "
+            f"{model_parallel}-way model parallel)")
+    if n_data == 1 and model_parallel == 1:
+        return None
+    return make_mesh(n_data=n_data, n_model=model_parallel)
+
+
+def shard_state_tp(state, mesh: Mesh):
+    """Tensor-parallel placement for a TrainState: FFN/MHA kernels sharded
+    on `model` (tp_param_shardings), everything else replicated. The
+    optimizer state's Adam moments mirror the param tree paths, so the
+    SAME path rules place each moment beside its param shard — sharded
+    optimizer state comes for free (a ZeRO-style memory win on the TP'd
+    kernels; the reference has no model parallelism at all, SURVEY §2.6)."""
+    return state.replace(
+        params=apply_shardings(
+            state.params, tp_param_shardings(state.params, mesh)),
+        batch_stats=replicate(state.batch_stats, mesh),
+        opt_state=apply_shardings(
+            state.opt_state, tp_param_shardings(state.opt_state, mesh)),
+    )
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Rank-agnostic leading-axis sharding for host->device batch
     placement (PartitionSpec shorter than the rank leaves trailing dims

@@ -265,3 +265,25 @@ def test_train_emotion_gesture_profile_dir(tmp_path):
     assert int(gen.step) == 4
     traces = list(trace_dir.rglob("*.xplane.pb"))
     assert traces, f"no profiler trace written under {trace_dir}"
+
+
+@pytest.mark.slow
+def test_train_emotion_gesture_model_parallel_cli(tmp_path):
+    """--model_parallel 2 on the 8-device CPU mesh (4x2 data-model):
+    the CLI wires parallel.tp_setup/shard_state_tp; one run, losses
+    finite, step counter advances. Numerical parity of the TP step is
+    pinned by tests/test_parallel.py::test_tp_gan_train_step_matches_
+    single_device."""
+    from emotiongestures_tpu.cli import train_emotion_gesture as cli
+
+    args = _train_args(cli.build_parser(), tmp_path, extra=(
+        "--num_devices", "8", "--model_parallel", "2"))
+    gen, disc = cli.main(args)
+    assert int(gen.step) == 2
+    for leaf in jax.tree_util.tree_leaves(gen.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # the FFN kernels must actually be model-sharded on the 2-D mesh
+    specs = [str(leaf.sharding.spec)
+             for leaf in jax.tree_util.tree_leaves(gen.params)
+             if hasattr(leaf, "sharding") and hasattr(leaf.sharding, "spec")]
+    assert any("model" in s for s in specs), specs[:5]

@@ -334,3 +334,70 @@ def test_dp_setup_semantics():
         dp_setup(8, 12)  # explicit mesh that can't shard the batch
     with pytest.raises(SystemExit):
         dp_setup(16, 16)  # more devices than visible
+
+
+def test_tp_gan_train_step_matches_single_device(rng):
+    """The user-facing --model_parallel path (parallel.tp_setup +
+    shard_state_tp): the FULL GAN train_step on a 4x2 (data, model) mesh
+    with FFN/MHA kernels AND their Adam moments sharded on `model` must
+    match single-device execution under the same outlier criterion as the
+    DP parity test above."""
+    from emotiongestures_tpu.parallel import shard_state_tp, tp_setup
+    from emotiongestures_tpu.train import gan
+
+    cfg = gan.GANConfig(n_words=16, d_model=64, d_inner=128, n_layers=1,
+                        n_head=4, d_k=16, d_v=16)
+    ds = SyntheticGestureDataset(n_samples=16, seed=3)
+    raw = make_batch([ds[i] for i in range(16)])
+    batch = {k: jnp.asarray(v) for k, v in raw.items()
+             if k in ("spectrogram", "text", "pose_seq", "eid_label")}
+
+    gs1, ds1 = gan.create_states(cfg, jax.random.PRNGKey(0))
+    gs1, ds1, m_single = gan.train_step(gs1, ds1, batch,
+                                        jax.random.PRNGKey(1), cfg,
+                                        use_disc=True)
+
+    mesh = tp_setup(8, 2, 16)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    gs2, ds2 = gan.create_states(cfg, jax.random.PRNGKey(0))
+    gs2 = shard_state_tp(gs2, mesh)
+    ds2 = shard_state_tp(ds2, mesh)
+    # the Adam moments must actually be model-sharded next to their params
+    tp_leaf_specs = [
+        str(leaf.sharding.spec)
+        for leaf in jax.tree_util.tree_leaves(gs2.opt_state)
+        if hasattr(leaf, "sharding") and hasattr(leaf.sharding, "spec")]
+    assert any("model" in s for s in tp_leaf_specs), tp_leaf_specs
+    sharded = shard_batch(batch, mesh)
+    gs2, ds2, m_tp = gan.train_step(gs2, ds2, sharded,
+                                    jax.random.PRNGKey(1), cfg,
+                                    use_disc=True)
+
+    for k in ("g_loss", "d_loss", "g_rec", "g_emo", "g_con", "g_adv"):
+        np.testing.assert_allclose(
+            float(m_single[k]), float(m_tp[k]), rtol=2e-4, atol=1e-5,
+            err_msg=k)
+    lr_quantum = 2 * cfg.lr  # one step
+    for tag, a, b in (("gen_params", gs1.params, gs2.params),
+                      ("gen_bn", gs1.batch_stats, gs2.batch_stats),
+                      ("disc_params", ds1.params, ds2.params)):
+        n_out = 0
+        n_tot = 0
+        for x, y in zip(jax.tree_util.tree_leaves(a),
+                        jax.tree_util.tree_leaves(b)):
+            diff = np.abs(np.asarray(x) - np.asarray(y))
+            assert diff.max() < 5e-3, (tag, diff.max())
+            n_out += int(np.sum(diff > lr_quantum))
+            n_tot += diff.size
+        assert n_out <= max(1, n_tot // 1000), (tag, n_out, n_tot)
+
+
+def test_tp_setup_semantics():
+    from emotiongestures_tpu.parallel import tp_setup
+
+    mesh = tp_setup(8, 4, 16)
+    assert dict(mesh.shape) == {"data": 2, "model": 4}
+    with pytest.raises(SystemExit):
+        tp_setup(8, 3, 16)   # 3 does not divide 8
+    with pytest.raises(SystemExit):
+        tp_setup(8, 2, 18)   # batch 18 does not divide n_data 4
