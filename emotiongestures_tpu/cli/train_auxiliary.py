@@ -111,6 +111,7 @@ def main(args=None):
     from ..train import fgd as fgd_train
     from ..train import skeleton as skeleton_train
     from ..utils import save_checkpoint, set_logger
+    from ..utils.profiling import guard_finite
 
     if args is None:
         args = build_parser().parse_args()
@@ -199,6 +200,7 @@ def main(args=None):
             state, metrics = step(state, batch, rng)
             global_iter += 1
             if global_iter % 10 == 0:
+                guard_finite(metrics, "train metrics")  # EGTP_DEBUG_NANS=1
                 logging.info("epoch %d iter %d %s [%.1fs]", epoch,
                              global_iter,
                              {k: round(float(v), 4)

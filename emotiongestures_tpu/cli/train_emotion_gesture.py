@@ -87,6 +87,7 @@ def main(args=None):
     from ..train import gan
     from ..utils import load_checkpoint, save_checkpoint, set_logger
     from ..utils.logging import MetricLogger
+    from ..utils.profiling import guard_finite
 
     if args is None:
         args = build_parser().parse_args()
@@ -291,6 +292,7 @@ def main(args=None):
                              args.profile_dir)
             if global_iter % 10 == 0:
                 m = {k: float(v) for k, v in metrics.items()}
+                guard_finite(m, "train metrics")  # EGTP_DEBUG_NANS=1
                 logging.info(
                     "epoch %d iter %d lr %.2e g %.4f (rec %.4f emo %.4f "
                     "con %.4f adv %.4f) d %.4f [%.1fs]",

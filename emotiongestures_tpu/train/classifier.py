@@ -211,6 +211,9 @@ def train_k_fold(
                     compute_dtype=compute_dtype)
                 global_iter += 1
                 if global_iter % eval_every == 0:
+                    from ..utils.profiling import guard_finite
+
+                    guard_finite(metrics, "train metrics")  # EGTP_DEBUG_NANS
                     val_acc = evaluate(state, dataset, val_idx, batch_size,
                                        compute_dtype, mesh=mesh,
                                        prefetch=prefetch)
