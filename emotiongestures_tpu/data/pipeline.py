@@ -117,8 +117,11 @@ def place_batches(batches: Iterator[dict], device=None, sharding=None,
         place = (lambda v: jax.device_put(v, target)) \
             if target is not None else (lambda v: v)
     for batch in batches:
+        # same array filter as Prefetcher._worker: non-array values
+        # (e.g. aux_info) never reach device_put
         yield {k: v if k in host_keys else place(v)
-               for k, v in batch.items()}
+               for k, v in batch.items()
+               if isinstance(v, (np.ndarray, jax.Array))}
 
 
 def store_batches(store, field_names, batch_size: int, labels_fn=None,
