@@ -5,6 +5,14 @@ Extra flags (ours): --synthetic N to run on the deterministic synthetic
 dataset (no BEAT caches needed), --max_folds / --eval_every to bound a
 run, --resume to restart from the latest checkpoint.
 
+Scale surface: --num_devices runs each fold data-parallel over a GSPMD
+mesh (the reference's automatic DataParallel wrap, train_...py:129-130).
+There are deliberately NO multi-host flags here: K-fold cross-validation's
+natural multi-host axis is FOLDS (run one fold per host with
+--max_folds/--resume and disjoint --model_save_path), which needs no
+cross-host collectives at all; the per-step multi-host DP path is provided
+where it matters — the GAN trainer and the auxiliary trainers.
+
 Usage:
   python -m emotiongestures_tpu.cli.train_audio_classifier_K_fold \
       --synthetic 256 --batch_size 32 --total_epoch 2 --max_folds 1

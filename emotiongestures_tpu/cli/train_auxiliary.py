@@ -64,6 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "<model_save_path>/<model>/ — also the "
                              "fine-tune entry for reference .pth weights "
                              "imported by egtp-convert-checkpoint")
+    # multi-host (same semantics as the GAN train CLI): one process per
+    # host; each process assembles only its slice of the global batch
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 (multi-host runs)")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="total process count for jax.distributed")
+    parser.add_argument("--process_id", type=int, default=None)
     return parser
 
 
@@ -103,7 +110,18 @@ def _emotion_features(args, batch, n_words: int):
         _, emo, _, _, _ = gen.apply(gvars, spec, text, prior, train=False)
         return emo
 
-    return lambda spec, text, prior: _features(gvars, spec, text, prior)
+    class _FeatureFn:
+        """Callable feature extractor that also exposes lower_compile for
+        the multi-host compile-alignment phase (warms the persistent XLA
+        cache without executing)."""
+
+        def __call__(self, spec, text, prior):
+            return _features(gvars, spec, text, prior)
+
+        def lower_compile(self, spec, text, prior):
+            _features.lower(gvars, spec, text, prior).compile()
+
+    return _FeatureFn()
 
 
 def main(args=None):
@@ -115,9 +133,21 @@ def main(args=None):
 
     if args is None:
         args = build_parser().parse_args()
+    multihost = (args.coordinator_address is not None
+                 or args.num_processes is not None)
+    if multihost:
+        # must run BEFORE anything initialises the local backend
+        from ..parallel import distributed
+
+        proc_idx, proc_cnt = distributed.initialize(
+            args.coordinator_address, args.num_processes, args.process_id)
     set_logger(args.model_save_path, f"train_{args.model}.log")
     logging.info("JAX devices: %s", jax.devices())
     logging.info(pprint.pformat(vars(args)))
+    if multihost:
+        logging.info("multi-host: process %d/%d, %d local of %d global "
+                     "devices", proc_idx, proc_cnt,
+                     len(jax.local_devices()), jax.device_count())
 
     if args.synthetic:
         from ..data.synthetic import SyntheticGestureDataset
@@ -172,24 +202,78 @@ def main(args=None):
     from .. import parallel
     from ..data.pipeline import Prefetcher, place_batches
 
-    mesh = parallel.dp_setup(args.num_devices, args.batch_size)
-    if mesh is not None:
-        state = parallel.replicate_state(state, mesh)
-        logging.info("data-parallel mesh: %s", dict(mesh.shape))
+    if multihost:
+        from ..parallel import distributed
+
+        mesh = distributed.global_mesh()
+        if args.batch_size % mesh.shape["data"]:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must divide over the "
+                f"{mesh.shape['data']}-device global mesh")
+        state = distributed.replicate_to_global(state, mesh)
+        proc_rows = distributed.process_batch_slice(args.batch_size)
+        place = lambda v: distributed.host_local_batch(v, mesh)
+        logging.info("multi-host mesh: %s", dict(mesh.shape))
+    else:
+        mesh = parallel.dp_setup(args.num_devices, args.batch_size)
+        if mesh is not None:
+            state = parallel.replicate_state(state, mesh)
+            logging.info("data-parallel mesh: %s", dict(mesh.shape))
+        proc_rows = None
+        place = None
     sharding = parallel.batch_sharding(mesh) if mesh is not None else None
     keys = {"fgd": ("pose_seq",),
             "skeleton": ("pose_seq", "eid_label"),
             "cvae": ("spectrogram", "text", "pose_seq", "eid_label")}[
         args.model]
 
+    save_ok = True
+    if multihost:
+        # compile BEFORE the first executed collective, then align at a
+        # gRPC barrier: gloo/ICI clique init has a bounded peer-wait that
+        # compile-time divergence between hosts (cache hit on one, miss
+        # on another) easily exceeds — same pattern as the GAN train CLI
+        rows_local = proc_rows.stop - proc_rows.start
+        dummy = {
+            "spectrogram": np.zeros((rows_local, 128, 124), np.float32),
+            "text": np.zeros((rows_local, args.n_poses), np.int32),
+            "pose_seq": np.zeros((rows_local, args.n_poses, args.pose_dim),
+                                 np.float32),
+            "eid_label": np.zeros((rows_local, 8), np.float32),
+        }
+        dummy = {k: place(v) for k, v in dummy.items() if k in keys}
+        rng0 = jax.random.PRNGKey(0)
+        if args.model == "fgd":
+            fgd_train.train_step.lower(
+                state, dummy["pose_seq"], rng0).compile()
+        elif args.model == "skeleton":
+            skeleton_train.train_step.lower(
+                state, dummy["pose_seq"], dummy["eid_label"], rng0).compile()
+        else:
+            # two-phase: compile the feature fn on every host, barrier,
+            # THEN execute it once (its forward contains the first
+            # cross-process collectives — TMMemory all-gather), and lower
+            # the CVAE step against the REAL feats sharding
+            feat_args = (dummy["spectrogram"], dummy["text"],
+                         dummy["pose_seq"][:, :10, :])
+            feat_fn.lower_compile(*feat_args)
+            distributed.coordination_barrier("egtp:aux_feat_compiled")
+            feats_dummy = feat_fn(*feat_args)
+            cvae_train.train_step.lower(
+                state, feats_dummy, dummy["eid_label"], rng0,
+                beta=args.kl_beta).compile()
+        distributed.coordination_barrier("egtp:aux_step_compiled")
+        save_ok = distributed.is_primary()
+
     def epoch_batches(epoch):
         raw = ({k: b[k] for k in keys}
                for b in dataset.batches(args.batch_size, shuffle=True,
-                                        seed=args.seed + epoch))
+                                        seed=args.seed + epoch,
+                                        rows=proc_rows))
         if args.prefetch > 0:
             return Prefetcher(raw, buffer_size=args.prefetch,
-                              sharding=sharding)
-        return place_batches(raw, sharding=sharding)
+                              sharding=sharding, place=place)
+        return place_batches(raw, sharding=sharding, place=place)
 
     global_iter = 0
     start = time.time()
@@ -206,9 +290,10 @@ def main(args=None):
                              {k: round(float(v), 4)
                               for k, v in metrics.items()},
                              time.time() - start)
-            if global_iter % args.save_every == 0:
+            if global_iter % args.save_every == 0 and save_ok:
                 save_checkpoint(state, save_dir)
-    save_checkpoint(state, save_dir)
+    if save_ok:  # multi-host: only process 0 writes (states replicated)
+        save_checkpoint(state, save_dir)
     logging.info("done: %d iters", global_iter)
     return state
 

@@ -176,3 +176,82 @@ def test_multihost_train_cli_matches_single_process(tmp_path):
     # integral |param| sums: reassociation noise is tiny relative to the
     # ~1e5-scale checksum; semantic deviation would move it by >1e-3 rel
     assert results[0]["checksum"] == pytest.approx(ref, rel=1e-4)
+
+
+WORKER_AUX = r"""
+import json, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+pid, nproc, port, outdir, model = (int(sys.argv[1]), int(sys.argv[2]),
+                                   sys.argv[3], sys.argv[4], sys.argv[5])
+from emotiongestures_tpu.cli import train_auxiliary as cli
+
+args = cli.build_parser().parse_args([
+    "--model", model, "--synthetic", "16", "--batch_size", "8",
+    "--total_epoch", "1", "--save_every", "100",
+    "--d_model", "64", "--latent_dim", "128", "--gen_layers", "1",
+    "--model_save_path", outdir,
+    "--coordinator_address", f"localhost:{port}",
+    "--num_processes", str(nproc), "--process_id", str(pid),
+])
+state = cli.main(args)
+checksum = float(sum(np.abs(np.asarray(l)).sum()
+                     for l in jax.tree_util.tree_leaves(state.params)))
+print("RESULT " + json.dumps({"pid": pid, "step": int(state.step),
+                              "checksum": checksum}))
+"""
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model", ["fgd", "cvae"])
+def test_multihost_aux_trainer_matches_single_process(tmp_path, model):
+    """The auxiliary trainers run multi-host with the same flags as the
+    GAN CLI (fgd = simple path; cvae = the frozen-generator feature
+    extractor executes the first cross-process collectives during the
+    two-phase compile-alignment)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = str(ROOT) + os.pathsep + env.get("PYTHONPATH", "")
+    script = tmp_path / "worker_aux.py"
+    script.write_text(WORKER_AUX)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), "2", str(port),
+             str(tmp_path / f"run{pid}"), model],
+            cwd=ROOT, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+    results = [json.loads(ln[len("RESULT "):])
+               for out, _ in outs for ln in out.splitlines()
+               if ln.startswith("RESULT ")]
+    assert len(results) == 2
+    assert results[0]["step"] == results[1]["step"] == 2
+    assert results[0]["checksum"] == pytest.approx(
+        results[1]["checksum"], rel=1e-7)
+
+    # single-process reference: same flags, no distributed args
+    from emotiongestures_tpu.cli import train_auxiliary as cli
+
+    args = cli.build_parser().parse_args([
+        "--model", model, "--synthetic", "16", "--batch_size", "8",
+        "--total_epoch", "1", "--save_every", "100",
+        "--d_model", "64", "--latent_dim", "128", "--gen_layers", "1",
+        "--num_devices", "1", "--model_save_path", str(tmp_path / "single")])
+    state = cli.main(args)
+    import jax
+
+    ref = float(sum(np.abs(np.asarray(l)).sum()
+                    for l in jax.tree_util.tree_leaves(state.params)))
+    assert results[0]["checksum"] == pytest.approx(ref, rel=1e-4)
