@@ -36,5 +36,38 @@ try:
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # jax's LRUCache.put writes entries with a bare write_bytes — NOT
+    # atomic. A concurrent reader (another trainer/test process sharing
+    # this cache) or a crash mid-write can expose a torn entry whose
+    # zstd prefix still decompresses, and XLA's executable deserializer
+    # SEGFAULTS on the truncated payload (observed twice on full-suite
+    # runs, 2026-08-18: crash inside compilation_cache.get_executable_
+    # and_time -> backend.deserialize_executable). Write temp + rename
+    # instead: os.replace is atomic on POSIX, so readers only ever see
+    # complete entries. Eviction-enabled caches keep the original
+    # (locked) path.
+    from jax._src import lru_cache as _lru
+
+    if not getattr(_lru.LRUCache.put, "_egtp_atomic", False):
+        _orig_put = _lru.LRUCache.put
+
+        def _atomic_put(self, key: str, val: bytes) -> None:
+            if not key:
+                raise ValueError("key cannot be empty")
+            if getattr(self, "eviction_enabled", True):
+                return _orig_put(self, key, val)
+            path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
+            if path.exists():
+                return
+            tmp = self.path / f".{key}.{_os.getpid()}.tmp"
+            try:
+                tmp.write_bytes(val)
+                _os.replace(tmp, path)
+            finally:
+                tmp.unlink(missing_ok=True)
+
+        _atomic_put._egtp_atomic = True
+        _lru.LRUCache.put = _atomic_put
 except Exception:  # pragma: no cover — cache is best-effort
     pass

@@ -85,3 +85,40 @@ def test_average_meter():
     m.update(3.0)
     assert m.avg == 2.0
     assert "loss" in str(m)
+
+
+def test_persistent_cache_put_is_atomic(tmp_path, monkeypatch):
+    """The package patches jax's LRUCache.put to temp-write + os.replace:
+    a reader can never observe a torn entry (bare write_bytes raced with
+    concurrent readers and segfaulted XLA's executable deserializer —
+    see emotiongestures_tpu/__init__.py)."""
+    import os
+
+    import emotiongestures_tpu  # noqa: F401 — installs the patch
+    from jax._src import lru_cache as lru
+
+    assert getattr(lru.LRUCache.put, "_egtp_atomic", False)
+
+    cache = lru.LRUCache(str(tmp_path), max_size=-1)  # eviction disabled
+    cache.put("k1", b"payload")
+    assert cache.get("k1") == b"payload"
+    assert not list(tmp_path.glob("*.tmp"))  # temp cleaned up
+
+    # If the process dies before the rename, no partial entry is visible.
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise RuntimeError("simulated crash before rename")
+
+    monkeypatch.setattr(os, "replace", boom)
+    try:
+        cache.put("k2", b"half")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(os, "replace", real_replace)
+    assert cache.get("k2") is None          # nothing torn became visible
+    assert not list(tmp_path.glob("*.tmp"))  # temp removed on failure
+
+    # idempotent: existing entries are never rewritten
+    cache.put("k1", b"different")
+    assert cache.get("k1") == b"payload"
