@@ -109,6 +109,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--prefetch", type=int, default=2,
                         help="host->device prefetch depth for the batch "
                              "stream; 0 = synchronous")
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="tensor-parallel degree (beyond reference "
+                             "parity): shard the transformer FFN/MHA "
+                             "kernels over a `model` mesh axis, batch over "
+                             "the remaining `data` axis (Megatron layout, "
+                             "parallel/mesh.py tp_param_shardings). For "
+                             "serving this trades batch-parallel "
+                             "throughput for lower per-batch latency; "
+                             "must divide --num_devices")
     return parser
 
 
@@ -274,11 +283,26 @@ def test_model(args, batches, n_words: int):
     from .. import parallel
     from ..data.pipeline import Prefetcher, place_batches
 
-    mesh = parallel.dp_setup(getattr(args, "num_devices", 1),
-                             args.test_batch_size)
+    tp = getattr(args, "model_parallel", 1) > 1
+    if tp:
+        mesh = parallel.tp_setup(getattr(args, "num_devices", 0),
+                                 args.model_parallel, args.test_batch_size)
+    else:
+        mesh = parallel.dp_setup(getattr(args, "num_devices", 1),
+                                 args.test_batch_size)
     if mesh is not None:
-        gv, fv, sv, vv = (parallel.replicate(v, mesh)
-                          for v in (gv, fv, sv, vv))
+        if tp:
+            # FFN/MHA kernels (generator + skeleton transformer) shard on
+            # `model`; everything else — incl. the whole FGD AE and CVAE,
+            # whose param names match no TP rule — replicates. Exact
+            # serving parity vs single device is pinned by
+            # tests/test_parallel.py::test_tp_eval_pipeline_...
+            gv, fv, sv, vv = (parallel.apply_shardings(
+                v, parallel.tp_param_shardings(v, mesh))
+                for v in (gv, fv, sv, vv))
+        else:
+            gv, fv, sv, vv = (parallel.replicate(v, mesh)
+                              for v in (gv, fv, sv, vv))
         logging.info("serving mesh: %s (batch %d -> %d/chip)",
                      dict(mesh.shape), args.test_batch_size,
                      args.test_batch_size // mesh.shape["data"])

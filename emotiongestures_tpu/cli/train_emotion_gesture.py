@@ -62,15 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_processes", type=int, default=None,
                         help="total process count for jax.distributed")
     parser.add_argument("--process_id", type=int, default=None)
-    parser.add_argument("--model_parallel", type=int, default=1,
-                        help="tensor-parallel degree: shard the "
-                             "transformer FFN/MHA kernels (and their Adam "
-                             "moments) over a `model` mesh axis, batch over "
-                             "the remaining `data` axis — "
-                             "parallel/mesh.py tp_param_shardings (Megatron "
-                             "layout, XLA inserts the psum over ICI). "
-                             "Single-host only; beyond reference parity "
-                             "(the reference has no model parallelism)")
+    # --model_parallel comes from the shared eval parser (train semantics:
+    # FFN/MHA kernels AND their Adam moments shard on `model`; single-host
+    # only — beyond reference parity, the reference has no model
+    # parallelism)
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace (TensorBoard/"
                              "Perfetto) of --profile_steps steady-state "

@@ -401,3 +401,59 @@ def test_tp_setup_semantics():
         tp_setup(8, 3, 16)   # 3 does not divide 8
     with pytest.raises(SystemExit):
         tp_setup(8, 2, 18)   # batch 18 does not divide n_data 4
+
+
+def test_tp_eval_pipeline_matches_single_device(rng):
+    """Tensor-parallel SERVING (--model_parallel on the eval CLI): the
+    eval device pipeline on a 4x2 (data, model) mesh with the generator/
+    skeleton FFN/MHA kernels sharded on `model` (FGD AE and CVAE params
+    match no TP rule and replicate) must reproduce single-device
+    outputs."""
+    from emotiongestures_tpu.models import (EmotionCVAEv3, FGDAutoEncoder,
+                                            GestureTransformer,
+                                            SkeletonTransformer)
+    from emotiongestures_tpu.parallel import tp_setup
+
+    gen = GestureTransformer(n_words=16, frames=60, d_model=64,
+                             d_inner=128, n_layers=1, n_head=4, d_k=16,
+                             d_v=16)
+    vae = EmotionCVAEv3(feat_dim=64)
+    fgd_net = FGDAutoEncoder()
+    skl = SkeletonTransformer(d_model=128, d_inner=128, n_layers=1)
+    spec = jnp.asarray(rng.randn(16, 128, 124), jnp.float32)
+    text = jnp.asarray(rng.randint(0, 16, (16, 60)))
+    target = jnp.asarray(rng.randn(16, 60, 282), jnp.float32)
+    y = jax.nn.one_hot(jnp.arange(16) % 8, 8)
+    gv = gen.init(jax.random.PRNGKey(0), spec[:1], text[:1], target[:1, :10])
+    vv = vae.init({"params": jax.random.PRNGKey(1),
+                   "sample": jax.random.PRNGKey(2)},
+                  jnp.zeros((1, 60, 64)), jnp.zeros((1, 8)))
+    fv = fgd_net.init(jax.random.PRNGKey(3), target[:1])
+    sv = skl.init(jax.random.PRNGKey(4), target[:1])
+
+    @jax.jit
+    def eval_batch(gv, vv, fv, sv, spec, text, target, y, key):
+        sampled = vae.apply(vv, y, method="sample", rngs={"sample": key})
+        pred, *_ = gen.apply(gv, spec, text, target[:, :10], sampled,
+                             train=False)
+        _, feat = fgd_net.apply(fv, pred)
+        logits, _ = skl.apply(sv, pred)
+        return pred, feat, logits
+
+    key = jax.random.PRNGKey(7)
+    ref = eval_batch(gv, vv, fv, sv, spec, text, target, y, key)
+
+    mesh = tp_setup(8, 2, 16)
+    tgv, tvv, tfv, tsv = (apply_shardings(v, tp_param_shardings(v, mesh))
+                          for v in (gv, vv, fv, sv))
+    # the generator's FFN kernels must actually be model-sharded
+    specs = [str(leaf.sharding.spec)
+             for leaf in jax.tree_util.tree_leaves(tgv)]
+    assert any("model" in s for s in specs)
+    s_in = shard_batch({"spec": spec, "text": text, "target": target,
+                        "y": y}, mesh)
+    got = eval_batch(tgv, tvv, tfv, tsv, s_in["spec"], s_in["text"],
+                     s_in["target"], s_in["y"], key)
+    for name, a, b in zip(("pred", "feat", "logits"), ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-4, err_msg=name)
