@@ -273,6 +273,14 @@ def main(args=None):
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1),
                                      global_iter)
             if profile_at is not None and global_iter == profile_at:
+                from ..utils.profiling import _suspend_compilation_cache
+
+                # a compile under an ACTIVE trace whose cache key matches
+                # an existing entry CHECK-aborts XLA's executable
+                # deserializer (jax 0.9.0, reproduced 3x on full-suite
+                # runs incl. a freshly rebuilt cache); the persistent
+                # cache is suspended for the trace window
+                _cache_restore = _suspend_compilation_cache()
                 jax.profiler.start_trace(args.profile_dir)
                 profiling = True
             gen_state, disc_state, metrics = gan.train_step(
@@ -282,6 +290,7 @@ def main(args=None):
                 jax.tree_util.tree_map(
                     lambda x: x.block_until_ready(), metrics)
                 jax.profiler.stop_trace()
+                _cache_restore()
                 profiling = False
                 logging.info("profiler trace written to %s",
                              args.profile_dir)
@@ -300,6 +309,7 @@ def main(args=None):
                 save_all()
     if profiling:  # run ended inside the window
         jax.profiler.stop_trace()
+        _cache_restore()
         logging.info("profiler trace written to %s", args.profile_dir)
     save_all()
     logging.info("done: %d iters in %.1fs", global_iter,

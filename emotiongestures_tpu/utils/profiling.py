@@ -12,18 +12,53 @@ import time
 import jax
 
 
+def _suspend_compilation_cache():
+    """Disable the persistent XLA compilation cache and return a restore
+    callback. A jit compile that happens while a profiler trace is ACTIVE
+    and whose persistent-cache key matches an existing entry CHECK-aborts
+    inside XLA's executable deserializer (jax 0.9.0; reproduced three
+    times on full-suite runs, including against a freshly rebuilt cache —
+    see CLAUDE.md). Compiles inside a trace window are rare and small;
+    losing cache reuse there is the safe trade.
+
+    Implementation note: flipping `jax_compilation_cache_dir` alone is NOT
+    enough — compilation_cache memoizes its cache object and its
+    `_cache_used` decision once per process, so the config change is
+    ignored. `reset_cache()` returns it to the pristine state in which
+    `jax_enable_compilation_cache=False` is honored (compiler._get_cache_key
+    then yields no key and the read/write paths are skipped entirely)."""
+    try:
+        from jax._src import compilation_cache as _cc
+
+        prev = jax.config.jax_enable_compilation_cache
+        jax.config.update("jax_enable_compilation_cache", False)
+        _cc.reset_cache()
+
+        def restore():
+            jax.config.update("jax_enable_compilation_cache", prev)
+            _cc.reset_cache()  # pristine again; re-memoizes enabled on use
+
+        return restore
+    except Exception:  # pragma: no cover — internal API moved; best-effort
+        return lambda: None
+
+
 @contextlib.contextmanager
 def trace(log_dir: str | None = None):
     """Capture a jax.profiler trace viewable in TensorBoard/Perfetto:
         with profiling.trace("/tmp/egtp_trace"):
             train_step(...)
-    """
+
+    The persistent compilation cache is suspended for the duration (see
+    _suspend_compilation_cache)."""
     log_dir = log_dir or os.environ.get("EGTP_TRACE_DIR", "/tmp/egtp_trace")
+    restore = _suspend_compilation_cache()
     jax.profiler.start_trace(log_dir)
     try:
         yield log_dir
     finally:
         jax.profiler.stop_trace()
+        restore()
         logging.info("profiler trace written to %s", log_dir)
 
 

@@ -122,3 +122,35 @@ def test_persistent_cache_put_is_atomic(tmp_path, monkeypatch):
     # idempotent: existing entries are never rewritten
     cache.put("k1", b"different")
     assert cache.get("k1") == b"payload"
+
+
+def test_suspend_compilation_cache(tmp_path):
+    """profiling._suspend_compilation_cache must fully bypass the
+    persistent cache (an under-trace compile's cache READ CHECK-aborts
+    XLA's deserializer on this jax — see CLAUDE.md) and restore caching
+    afterwards. reset_cache() is required: the cache object and the
+    is_cache_used decision are memoized once per process."""
+    import jax
+    import jax.numpy as jnp
+    from jax._src import compilation_cache as cc
+
+    from emotiongestures_tpu.utils.profiling import (
+        _suspend_compilation_cache)
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        restore = _suspend_compilation_cache()
+        jax.jit(lambda x: x * 3.5 + jnp.sin(x))(
+            jnp.ones(7)).block_until_ready()
+        assert not list(tmp_path.glob("*-cache"))  # no writes while off
+        restore()
+        cc.reset_cache()  # pick up the tmp_path dir for the check below
+        jax.jit(lambda x: x - 1.25 + jnp.cos(x))(
+            jnp.ones(9)).block_until_ready()
+        assert list(tmp_path.glob("*-cache"))  # caching works again
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        cc.reset_cache()  # leave pristine for the rest of the suite
