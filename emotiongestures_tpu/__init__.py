@@ -51,10 +51,20 @@ try:
 
     if not getattr(_lru.LRUCache.put, "_egtp_atomic", False):
         _orig_put = _lru.LRUCache.put
+        _orig_get = _lru.LRUCache.get
+        # keys this process put: reading one back re-deserializes an
+        # executable this process ALREADY holds in memory, and XLA's CPU
+        # AOT loader segfaults/aborts on exactly that pattern at deep
+        # process state (3 deterministic full-suite crashes inside
+        # backend.deserialize_executable, each reading a same-process
+        # entry; cross-process reads never crashed in hundreds observed).
+        # Treat such reads as misses — worst case a redundant recompile.
+        _this_process_keys = set()
 
         def _atomic_put(self, key: str, val: bytes) -> None:
             if not key:
                 raise ValueError("key cannot be empty")
+            _this_process_keys.add(key)
             if getattr(self, "eviction_enabled", True):
                 return _orig_put(self, key, val)
             path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
@@ -67,7 +77,13 @@ try:
             finally:
                 tmp.unlink(missing_ok=True)
 
+        def _guarded_get(self, key: str):
+            if key in _this_process_keys:
+                return None
+            return _orig_get(self, key)
+
         _atomic_put._egtp_atomic = True
         _lru.LRUCache.put = _atomic_put
+        _lru.LRUCache.get = _guarded_get
 except Exception:  # pragma: no cover — cache is best-effort
     pass

@@ -101,7 +101,16 @@ def test_persistent_cache_put_is_atomic(tmp_path, monkeypatch):
 
     cache = lru.LRUCache(str(tmp_path), max_size=-1)  # eviction disabled
     cache.put("k1", b"payload")
-    assert cache.get("k1") == b"payload"
+    # same-process read-back is suppressed (returns None): re-deserializing
+    # an executable this process already holds crashes XLA's CPU AOT
+    # loader at deep process state — the compiled object is in the
+    # in-memory jit cache anyway, so a miss only costs a rare recompile
+    assert cache.get("k1") is None
+    # the entry IS complete on disk for OTHER processes
+    assert (tmp_path / "k1-cache").read_bytes() == b"payload"
+    # keys written by another process read normally
+    (tmp_path / "other-cache").write_bytes(b"from elsewhere")
+    assert cache.get("other") == b"from elsewhere"
     assert not list(tmp_path.glob("*.tmp"))  # temp cleaned up
 
     # If the process dies before the rename, no partial entry is visible.
@@ -121,7 +130,7 @@ def test_persistent_cache_put_is_atomic(tmp_path, monkeypatch):
 
     # idempotent: existing entries are never rewritten
     cache.put("k1", b"different")
-    assert cache.get("k1") == b"payload"
+    assert (tmp_path / "k1-cache").read_bytes() == b"payload"
 
 
 def test_suspend_compilation_cache(tmp_path):
