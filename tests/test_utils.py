@@ -125,7 +125,9 @@ def test_persistent_cache_put_is_atomic(tmp_path, monkeypatch):
     except RuntimeError:
         pass
     monkeypatch.setattr(os, "replace", real_replace)
-    assert cache.get("k2") is None          # nothing torn became visible
+    # nothing torn became visible ON DISK (the same-process get guard
+    # would mask this, so assert on the filesystem directly)
+    assert not (tmp_path / "k2-cache").exists()
     assert not list(tmp_path.glob("*.tmp"))  # temp removed on failure
 
     # idempotent: existing entries are never rewritten
