@@ -85,5 +85,28 @@ try:
         _atomic_put._egtp_atomic = True
         _lru.LRUCache.put = _atomic_put
         _lru.LRUCache.get = _guarded_get
+
+        # put_executable_and_time calls executable.serialize() BEFORE the
+        # existence check in cache.put — and XLA:CPU executable
+        # (de)serialization segfaults at deep process state (full-suite
+        # crash #5 landed exactly there, re-serializing an executable
+        # whose entry already existed). Skip the serialize entirely when
+        # the entry file is already on disk.
+        from jax._src import compilation_cache as _cc
+
+        _orig_pet = _cc.put_executable_and_time
+
+        def _guarded_pet(cache_key, module_name, executable, backend,
+                         compile_time):
+            cache = _cc._get_cache(backend)
+            path = getattr(cache, "path", None)
+            if path is not None and (
+                    path / f"{cache_key}{_lru._CACHE_SUFFIX}").exists():
+                _this_process_keys.add(cache_key)
+                return
+            return _orig_pet(cache_key, module_name, executable, backend,
+                             compile_time)
+
+        _cc.put_executable_and_time = _guarded_pet
 except Exception:  # pragma: no cover — cache is best-effort
     pass

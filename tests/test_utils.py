@@ -165,3 +165,37 @@ def test_suspend_compilation_cache(tmp_path):
         jax.config.update("jax_compilation_cache_dir", prev_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         cc.reset_cache()  # leave pristine for the rest of the suite
+
+
+def test_put_executable_skips_serialize_when_entry_exists(tmp_path):
+    """put_executable_and_time must not call executable.serialize() when
+    the entry file already exists — XLA:CPU (de)serialization segfaults
+    at deep process state, and jax serializes BEFORE the existence check
+    (see emotiongestures_tpu/__init__.py)."""
+    import emotiongestures_tpu  # noqa: F401 — installs the patch
+    import jax
+    from jax._src import compilation_cache as cc
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+    cc.reset_cache()
+    try:
+        backend = jax.devices()[0].client
+        cache = cc._get_cache(backend)
+        assert cache is not None
+        # pre-existing entry (as if written by an earlier test/process)
+        (cache.path / "deadbeef-cache").write_bytes(b"entry")
+
+        class Boom:
+            def serialize(self):
+                raise AssertionError("serialize() must not run")
+
+        # existing key: returns without touching the executable
+        cc.put_executable_and_time("deadbeef", "m", Boom(), backend, 3)
+        # fresh key: reaches serialize (our Boom proves the passthrough)
+        import pytest as _pytest
+        with _pytest.raises(Exception):
+            cc.put_executable_and_time("cafef00d", "m", Boom(), backend, 3)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        cc.reset_cache()
