@@ -16,18 +16,27 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Disable the persistent XLA compilation cache INSIDE the suite process.
+# XLA:CPU executable work segfaults after enough compile activity in one
+# process — seven deterministic full-suite crashes (2026-08-17/18) in
+# deserialize_executable, executable.serialize(), and (under an active
+# profiler trace) the compile itself, always ~38+ tests deep while every
+# shallower run passes. The suite is the pathological many-big-compiles
+# process; with the cache off, no (de)serialization happens here at all.
+# Subprocess-driven tests (test_distributed, the profile CLI test) import
+# the package fresh and still use the shared cache at shallow depth, and
+# production trainers (few distinct compiles per process) keep it too.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np
 import pytest
 
 
 def pytest_collection_modifyitems(config, items):
-    """Run test_parallel.py first. Its DP-GAN compiles are the largest
-    executables the suite caches; writing them ~120 tests deep in one
-    process SEGFAULTS inside jax's compilation_cache.put_executable_and_
-    time on a cold cache (reproduced twice 2026-08-17), while the same
-    file passes standalone. Fronting it makes cold-cache full-suite runs
-    survive and warms the big entries for everything after."""
+    """Run test_parallel.py first: its DP/TP-GAN compiles are the
+    heaviest — fronting them keeps the deep-process tail of the suite
+    light (and historically sidestepped the cache-write segfault that is
+    now fully avoided by disabling the persistent cache above)."""
     items.sort(key=lambda it: 0 if "test_parallel" in it.nodeid else 1)
 
 

@@ -149,8 +149,13 @@ def test_suspend_compilation_cache(tmp_path):
         _suspend_compilation_cache)
 
     prev_dir = jax.config.jax_compilation_cache_dir
+    prev_enabled = jax.config.jax_enable_compilation_cache
     jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+    # conftest disables the cache suite-wide (XLA:CPU deep-process
+    # crashes); this test owns its own enable/disable lifecycle
+    jax.config.update("jax_enable_compilation_cache", True)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    cc.reset_cache()
     try:
         restore = _suspend_compilation_cache()
         jax.jit(lambda x: x * 3.5 + jnp.sin(x))(
@@ -163,6 +168,7 @@ def test_suspend_compilation_cache(tmp_path):
         assert list(tmp_path.glob("*-cache"))  # caching works again
     finally:
         jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_enable_compilation_cache", prev_enabled)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         cc.reset_cache()  # leave pristine for the rest of the suite
 
@@ -177,7 +183,9 @@ def test_put_executable_skips_serialize_when_entry_exists(tmp_path):
     from jax._src import compilation_cache as cc
 
     prev_dir = jax.config.jax_compilation_cache_dir
+    prev_enabled = jax.config.jax_enable_compilation_cache
     jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+    jax.config.update("jax_enable_compilation_cache", True)
     cc.reset_cache()
     try:
         backend = jax.devices()[0].client
@@ -198,4 +206,5 @@ def test_put_executable_skips_serialize_when_entry_exists(tmp_path):
             cc.put_executable_and_time("cafef00d", "m", Boom(), backend, 3)
     finally:
         jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_enable_compilation_cache", prev_enabled)
         cc.reset_cache()
