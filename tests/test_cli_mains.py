@@ -288,7 +288,7 @@ def test_train_emotion_gesture_profile_dir(tmp_path):
     )
     proc = subprocess.run([sys.executable, "-c", script], cwd=root,
                           env=env, capture_output=True, text=True,
-                          timeout=900)
+                          timeout=2400)
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "STEP 4" in proc.stdout
     traces = list(trace_dir.rglob("*.xplane.pb"))

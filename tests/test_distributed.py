@@ -76,7 +76,8 @@ def test_two_process_dp_fgd_matches_single_process(tmp_path):
             stderr=subprocess.PIPE, text=True)
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=600) for p in procs]
+    # generous: under pytest-xdist all 8 workers timeshare ONE core
+    outs = [p.communicate(timeout=2400) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
     result_lines = [ln for out, _ in outs for ln in out.splitlines()
@@ -148,7 +149,8 @@ def test_multihost_train_cli_matches_single_process(tmp_path):
             stderr=subprocess.PIPE, text=True)
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=900) for p in procs]
+    # generous: under pytest-xdist all 8 workers timeshare ONE core
+    outs = [p.communicate(timeout=2400) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
     results = [json.loads(ln[len("RESULT "):])
@@ -230,7 +232,8 @@ def test_multihost_aux_trainer_matches_single_process(tmp_path, model):
             stderr=subprocess.PIPE, text=True)
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=900) for p in procs]
+    # generous: under pytest-xdist all 8 workers timeshare ONE core
+    outs = [p.communicate(timeout=2400) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
     results = [json.loads(ln[len("RESULT "):])
