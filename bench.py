@@ -420,7 +420,120 @@ def bench_eval_pipeline(batch=1024, precision="float32") -> dict:
             "precision": precision}
 
 
+def _hostfeed_store(n_windows: int):
+    """Build (or reuse) a realistic-size GestureStore for host feed-rate
+    measurement (VERDICT r3 item 2): real BEAT window shapes — audio
+    (64000,) f32, spectrogram (128, 128) f16 (the reference cache stores
+    float16, utils/train_utils_BEAT.py:189), pose (60, 282) f32, ~8 timed
+    words, eid aux — with random CONTENT (feed rate depends on bytes and
+    layout, not values; synthesizing real mel content costs ~80 ms/sample
+    x 50k which would dwarf the measurement)."""
+    import numpy as np
+
+    from emotiongestures_tpu.data.store import GestureStore, \
+        GestureStoreWriter
+
+    path = REPO / ".bench_cache" / f"hostfeed_store_{n_windows}"
+    if path.exists():
+        return GestureStore(path), path
+    rng = np.random.RandomState(0)
+    words = [f"word{i}" for i in range(256)]
+    t0 = time.perf_counter()
+    with GestureStoreWriter(path) as w:
+        for i in range(n_windows):
+            n_spoken = 4 + i % 8
+            starts = np.sort(rng.uniform(0.0, 4.0, n_spoken))
+            w.append({
+                "word_seq": [[words[rng.randint(256)], float(s),
+                              float(s + 0.3)] for s in starts],
+                "pose_seq": rng.randn(60, 282).astype(np.float32),
+                "audio": rng.randn(64000).astype(np.float32),
+                "spectrogram": rng.randn(128, 128).astype(np.float16),
+                "aux_info": {"eid": f"1_wayne_0_{i % 118 + 1}"
+                                    f"_{i % 118 + 1}",
+                             "start_time": 0.0, "end_time": 4.0,
+                             "start_frame_no": 0, "end_frame_no": 60},
+            })
+    print(f"# built {n_windows}-window store in "
+          f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
+    return GestureStore(path), path
+
+
+def bench_host_feed(n_windows: int = 50000, batch: int = 128,
+                    measure_s: float = 20.0) -> dict:
+    """Sustained host samples/s through the real training input path
+    (VERDICT r3 item 2): GestureStore decode + __getitem__ fixups +
+    extend_word_seq + collate, via dataset.batches() — the exact producer
+    feeding the GAN train loop. Also reports the native-codec
+    store_batches fast path and the pure-python batch_field fallback for
+    the classifier-style (spectrogram, label) feed."""
+    import numpy as np
+
+    from emotiongestures_tpu.data.dataset import (SpeechMotionDataset,
+                                                  one_hot_eid)
+    from emotiongestures_tpu.data.pipeline import store_batches
+    from emotiongestures_tpu.data.vocab import Vocab
+
+    store, path = _hostfeed_store(n_windows)
+    ds = SpeechMotionDataset(path, use_cache_suffix=False)
+    lang = Vocab("words")
+    for i in range(256):
+        lang.index_word(f"word{i}")
+    ds.set_lang_model(lang)
+
+    def rate(batch_iter):
+        """samples/s over ≥measure_s of sustained iteration (fresh
+        iterator epochs as needed; never counts a partial batch)."""
+        n = 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < measure_s:
+            for b in batch_iter():
+                n += len(b["pose_seq"])
+                if time.perf_counter() - t0 >= measure_s:
+                    break
+        return n / (time.perf_counter() - t0)
+
+    # the full GAN-trainer path (decode + fixups + text grid + collate)
+    full = rate(lambda: ds.batches(batch, shuffle=True, seed=1))
+    # native C++ batch decode (classifier-style fixed-shape fields)
+    native = rate(lambda: store_batches(
+        store, ("spectrogram", "pose_seq"), batch, shuffle=True, seed=1,
+        labels_fn=lambda r: one_hot_eid(r["aux_info"]["eid"])))
+    # pure-python per-record decode of the same fields (codec fallback)
+    def py_batches():
+        order = np.random.RandomState(1).permutation(len(store))
+        for i in range(0, len(store) - batch + 1, batch):
+            idx = order[i:i + batch]
+            yield {"spectrogram": np.stack(
+                       [np.asarray(store[int(j)]["spectrogram"],
+                                   np.float32) for j in idx]),
+                   "pose_seq": np.stack(
+                       [np.asarray(store[int(j)]["pose_seq"], np.float32)
+                        for j in idx])}
+    python = rate(py_batches)
+
+    train_demand = 1586.0  # bf16 GAN samples/s/chip (BASELINE.md)
+    return {
+        "n_windows": n_windows, "batch": batch,
+        "store_gb": round((path / "data.bin").stat().st_size / 2**30, 2),
+        "native_codec": store.native_available,
+        "full_getitem_samples_per_s": round(full, 1),
+        "native_batch_decode_samples_per_s": round(native, 1),
+        "python_batch_decode_samples_per_s": round(python, 1),
+        "train_demand_per_chip": train_demand,
+        "chips_fed_full_path": round(full / train_demand, 2),
+        "chips_fed_native_path": round(native / train_demand, 2),
+    }
+
+
 def main():
+    if "--hostfeed" in sys.argv:
+        n = 50000
+        for a in sys.argv:
+            if a.startswith("--windows="):
+                n = int(a.split("=")[1])
+        print(json.dumps({"mode": "host_feed", **bench_host_feed(n)}))
+        return
     if "--train" in sys.argv:
         cdtype = "bfloat16" if "--bf16" in sys.argv else "float32"
         order = "g_first" if "--g-first" in sys.argv else "d_first"

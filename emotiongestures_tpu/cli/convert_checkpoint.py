@@ -46,6 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="generator vocab size (match the "
                              "checkpoint's embedding table)")
     parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--allow_pickle", action="store_true",
+                        help="permit full-pickle torch.load for rich-dict "
+                             "checkpoints (args/lang_model objects, "
+                             "utils/train_utils.py:149-213). Unpickling "
+                             "executes arbitrary code — only enable for "
+                             "files you trust; plain state_dicts load "
+                             "safely without this")
     return parser
 
 
@@ -119,7 +126,8 @@ def main(args=None):
     variables = model.init(rngs, *init_args)
 
     new_vars, unmapped = torch_import(
-        variables, load_reference_state_dict(args.input))
+        variables, load_reference_state_dict(
+            args.input, allow_pickle=getattr(args, "allow_pickle", False)))
 
     state = create_train_state(
         model, new_vars, schedules.adam(lr=args.lr))

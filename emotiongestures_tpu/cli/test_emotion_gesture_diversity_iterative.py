@@ -25,6 +25,7 @@ import argparse
 import logging
 import os
 import pprint
+import sys
 import time
 
 import jax
@@ -81,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--skip_beat", action="store_true",
                         help="skip host-side beat alignment (fast smoke)")
+    parser.add_argument("--allow_pickle", action="store_true",
+                        help="permit full-pickle torch.load when a "
+                             "checkpoint flag points at a rich-dict .pth "
+                             "(pickles arbitrary objects; executes code "
+                             "on load — only for trusted files). Plain "
+                             "state_dicts import safely without this")
     parser.add_argument("--precision", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="bfloat16 runs the generator+CVAE in bf16 "
@@ -118,11 +125,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "serving this trades batch-parallel "
                              "throughput for lower per-batch latency; "
                              "must divide --num_devices")
+    from .presets import add_preset_flag
+
+    add_preset_flag(parser)
     return parser
 
 
 def _maybe_load(state, path, name, subdir: str | None = None,
-                torch_import=None):
+                torch_import=None, allow_pickle: bool = False):
     """Restore `state` from `path`, also trying `path/subdir` (the GAN
     trainer saves generator/discriminator under per-model subdirs of
     --model_save_path, so --checkpoints_folder_path may point at either
@@ -146,7 +156,7 @@ def _maybe_load(state, path, name, subdir: str | None = None,
             from ..train.state import model_variables
             from ..utils.torch_port import load_reference_state_dict
 
-            raw = load_reference_state_dict(p)
+            raw = load_reference_state_dict(p, allow_pickle=allow_pickle)
             new_vars, unmapped = torch_import(model_variables(state), raw)
             state = state.replace(
                 params=new_vars["params"],
@@ -225,25 +235,27 @@ def test_model(args, batches, n_words: int):
     tx = schedules.adam(lr=args.lr, b1=args.beta1, b2=args.beta2)
     from ..utils import torch_port as tp
 
+    pickle_ok = getattr(args, "allow_pickle", False)
     gen_state = _maybe_load(
         create_train_state(generator, gvars, tx),
         args.checkpoints_folder_path, "generator", subdir="generator",
         torch_import=lambda v, sd: tp.torch_state_to_flax_generator(
-            v, sd, n_layers=gen_layers))
+            v, sd, n_layers=gen_layers), allow_pickle=pickle_ok)
     fgd_state = _maybe_load(
         create_train_state(fgd_net, fvars, tx), args.fgd_checkpoint, "FGD",
         torch_import=lambda v, sd: tp.torch_table_to_flax_state(
-            v, sd, tp.fgd_ae_mapping()))
+            v, sd, tp.fgd_ae_mapping()), allow_pickle=pickle_ok)
     skel_state = _maybe_load(
         create_train_state(skeleton, svars, tx), args.skeleton_checkpoint,
         "skeleton classifier",
         torch_import=lambda v, sd: tp.torch_table_to_flax_state(
-            v, sd, tp.skeleton_classifier_mapping(n_layers=3)))
+            v, sd, tp.skeleton_classifier_mapping(n_layers=3)),
+        allow_pickle=pickle_ok)
     vae_state = _maybe_load(
         create_train_state(vae, vvars, tx), args.cvae_checkpoint,
         "emotion CVAE",
         torch_import=lambda v, sd: tp.torch_table_to_flax_state(
-            v, sd, tp.cvae_v3_mapping()))
+            v, sd, tp.cvae_v3_mapping()), allow_pickle=pickle_ok)
 
     use_bf16 = getattr(args, "precision", "float32") == "bfloat16"
 
@@ -283,15 +295,17 @@ def test_model(args, batches, n_words: int):
     from .. import parallel
     from ..data.pipeline import Prefetcher, place_batches
 
-    tp = getattr(args, "model_parallel", 1) > 1
-    if tp:
+    # `use_tp`, not `tp`: this scope also binds torch_port as `tp` above,
+    # and the import lambdas close over that name (ADVICE r3)
+    use_tp = getattr(args, "model_parallel", 1) > 1
+    if use_tp:
         mesh = parallel.tp_setup(getattr(args, "num_devices", 0),
                                  args.model_parallel, args.test_batch_size)
     else:
         mesh = parallel.dp_setup(getattr(args, "num_devices", 1),
                                  args.test_batch_size)
     if mesh is not None:
-        if tp:
+        if use_tp:
             # FFN/MHA kernels (generator + skeleton transformer) shard on
             # `model`; everything else — incl. the whole FGD AE and CVAE,
             # whose param names match no TP rule — replicates. Exact
@@ -400,9 +414,12 @@ def test_model(args, batches, n_words: int):
 
 def main(args=None):
     from ..utils import set_logger
+    from .presets import EVAL_FAST, apply_preset
 
+    argv = sys.argv[1:] if args is None else None
     if args is None:
         args = build_parser().parse_args()
+    args = apply_preset(args, build_parser(), EVAL_FAST, argv=argv)
     set_logger(args.log_save_path,
                os.path.basename(__file__).replace(".py", ".log"))
     logging.info("JAX devices: %s", jax.devices())

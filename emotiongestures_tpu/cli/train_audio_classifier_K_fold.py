@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import logging
 import os
+import sys
 import pprint
 
 import jax
@@ -73,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="host->device prefetch depth (the torch "
                              "DataLoader workers+pin_memory role); 0 = "
                              "synchronous batch assembly")
+    from .presets import add_preset_flag
+
+    add_preset_flag(parser)
     return parser
 
 
@@ -96,10 +100,14 @@ def main(args=None):
     from .. import parallel
     from ..data.synthetic import SyntheticGestureDataset
     from ..train import classifier
-    from ..utils import save_checkpoint, set_logger
+    from ..utils import GracefulShutdown, save_checkpoint, set_logger
 
+    argv = sys.argv[1:] if args is None else None
     if args is None:
         args = build_parser().parse_args()
+    from .presets import CLASSIFIER_FAST, apply_preset
+
+    args = apply_preset(args, build_parser(), CLASSIFIER_FAST, argv=argv)
     set_logger(args.model_save_path,
                os.path.basename(__file__).replace(".py", ".log"))
     logging.info("JAX devices: %s", jax.devices())
@@ -134,19 +142,21 @@ def main(args=None):
         logging.info("data-parallel mesh: %s (global batch %d -> %d/chip)",
                      dict(mesh.shape), args.batch_size,
                      args.batch_size // mesh.shape["data"])
-    results = classifier.train_k_fold(
-        full, test,
-        batch_size=args.batch_size,
-        epochs=args.total_epoch,
-        lr=args.lr,
-        eval_every=args.eval_every,
-        seed=args.seed,
-        max_folds=args.max_folds,
-        checkpoint_fn=checkpoint_fn,
-        compute_dtype=args.compute_dtype,
-        mesh=mesh,
-        prefetch=args.prefetch,
-    )
+    with GracefulShutdown() as stop:  # preemption-safe (SURVEY §5)
+        results = classifier.train_k_fold(
+            full, test,
+            batch_size=args.batch_size,
+            epochs=args.total_epoch,
+            lr=args.lr,
+            eval_every=args.eval_every,
+            seed=args.seed,
+            max_folds=args.max_folds,
+            checkpoint_fn=checkpoint_fn,
+            compute_dtype=args.compute_dtype,
+            mesh=mesh,
+            prefetch=args.prefetch,
+            should_stop=lambda: stop.requested,
+        )
     for r in results:
         logging.info("Fold %d: Test Accuracy %.2f%%", r["fold"] + 1,
                      r["test_acc"])

@@ -71,6 +71,18 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_processes", type=int, default=None,
                         help="total process count for jax.distributed")
     parser.add_argument("--process_id", type=int, default=None)
+    # --model skeleton init-lottery mitigation (train/skeleton.py
+    # PlateauDetector; VERDICT r3 Weak #4): the reference architecture
+    # converges or sits at chance depending purely on the init seed
+    parser.add_argument("--plateau_patience", type=int, default=300,
+                        help="skeleton only: steps without train acc "
+                             "reaching --plateau_acc before reseeding "
+                             "the init (0 disables auto-reseed)")
+    parser.add_argument("--plateau_acc", type=float, default=30.0,
+                        help="skeleton only: train-accuracy %% that "
+                             "counts as 'escaped the plateau'")
+    parser.add_argument("--max_reseeds", type=int, default=8,
+                        help="skeleton only: bound on plateau restarts")
     return parser
 
 
@@ -128,7 +140,7 @@ def main(args=None):
     from ..train import cvae as cvae_train
     from ..train import fgd as fgd_train
     from ..train import skeleton as skeleton_train
-    from ..utils import save_checkpoint, set_logger
+    from ..utils import AsyncSaver, GracefulShutdown, set_logger
     from ..utils.profiling import guard_finite
 
     if args is None:
@@ -165,6 +177,7 @@ def main(args=None):
         n_words = 64
 
     key = jax.random.PRNGKey(args.seed)
+    plateau = None
     if args.model == "fgd":
         state = fgd_train.create_state(key, lr=args.lr,
                                        pose_dim=args.pose_dim)
@@ -178,6 +191,10 @@ def main(args=None):
                                             d_inner=args.latent_dim)
         step = lambda st, batch, rng: skeleton_train.train_step(
             st, batch["pose_seq"], batch["eid_label"], rng)
+        if args.plateau_patience > 0:
+            plateau = skeleton_train.PlateauDetector(
+                patience=args.plateau_patience, acc_target=args.plateau_acc,
+                max_reseeds=args.max_reseeds)
     else:
         state = cvae_train.create_state(key, lr=args.lr,
                                         version=args.cvae_version,
@@ -277,12 +294,46 @@ def main(args=None):
 
     global_iter = 0
     start = time.time()
+    # non-blocking saves + preemption-safe exit (SURVEY §5; same
+    # semantics as the GAN trainer)
+    saver = AsyncSaver()
+    stop = GracefulShutdown().__enter__()
     for epoch in range(args.total_epoch):
+        if stop.requested:
+            break
         for batch in epoch_batches(epoch):
+            if stop.requested:
+                logging.warning(
+                    "shutdown requested — checkpointing at step %d and "
+                    "exiting cleanly", global_iter)
+                break
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1),
                                      global_iter)
             state, metrics = step(state, batch, rng)
             global_iter += 1
+            if plateau is not None and plateau.update(float(metrics["acc"])):
+                # init lottery (VERDICT r3 Weak #4): restart from a fresh
+                # deterministic seed; the plateaued attempt's checkpoints
+                # are chance-level and are dropped so resume/eval can
+                # never pick one up
+                logging.warning(
+                    "skeleton init-lottery plateau: train acc never "
+                    "reached %.1f%% in %d steps — reseeding "
+                    "(attempt %d/%d)", args.plateau_acc,
+                    args.plateau_patience, plateau.attempts,
+                    args.max_reseeds)
+                state = skeleton_train.create_state(
+                    plateau.next_key(key), lr=args.lr,
+                    pose_dim=args.pose_dim, d_inner=args.latent_dim)
+                if multihost:
+                    state = distributed.replicate_to_global(state, mesh)
+                elif mesh is not None:
+                    state = parallel.replicate_state(state, mesh)
+                if save_ok:
+                    import shutil
+
+                    saver.wait()
+                    shutil.rmtree(save_dir, ignore_errors=True)
             if global_iter % 10 == 0:
                 guard_finite(metrics, "train metrics")  # EGTP_DEBUG_NANS=1
                 logging.info("epoch %d iter %d %s [%.1fs]", epoch,
@@ -291,10 +342,13 @@ def main(args=None):
                               for k, v in metrics.items()},
                              time.time() - start)
             if global_iter % args.save_every == 0 and save_ok:
-                save_checkpoint(state, save_dir)
+                saver.save(state, save_dir)
     if save_ok:  # multi-host: only process 0 writes (states replicated)
-        save_checkpoint(state, save_dir)
-    logging.info("done: %d iters", global_iter)
+        saver.save(state, save_dir)
+    saver.close()
+    stop.__exit__(None, None, None)
+    logging.info("done: %d iters%s", global_iter,
+                 " (clean shutdown on signal)" if stop.requested else "")
     return state
 
 

@@ -18,6 +18,7 @@ import argparse
 import logging
 import os
 import pprint
+import sys
 import time
 
 import jax
@@ -80,12 +81,17 @@ def main(args=None):
     from ..core.schedules import staged_lr
     from ..data.pipeline import Prefetcher, place_batches
     from ..train import gan
-    from ..utils import load_checkpoint, save_checkpoint, set_logger
+    from ..utils import (AsyncSaver, GracefulShutdown, load_checkpoint,
+                         set_logger)
     from ..utils.logging import MetricLogger
     from ..utils.profiling import guard_finite
 
+    argv = sys.argv[1:] if args is None else None
     if args is None:
         args = build_parser().parse_args()
+    from .presets import GAN_TRAIN_FAST, apply_preset
+
+    args = apply_preset(args, build_parser(), GAN_TRAIN_FAST, argv=argv)
     multihost = (args.coordinator_address is not None
                  or args.num_processes is not None)
     if multihost:
@@ -247,11 +253,16 @@ def main(args=None):
     else:
         save_ok = True
 
+    # non-blocking saves: D2H fetch on this thread (states are donated to
+    # the next step), orbax write on a background worker — the device
+    # keeps training through the disk write (SURVEY §5 failure recovery)
+    saver = AsyncSaver()
+
     def save_all():
         if save_ok:
-            save_checkpoint(gen_state, os.path.join(
+            saver.save(gen_state, os.path.join(
                 args.model_save_path, "generator"))
-            save_checkpoint(disc_state, os.path.join(
+            saver.save(disc_state, os.path.join(
                 args.model_save_path, "discriminator"))
 
     ladder = staged_lr(args.lr)
@@ -263,13 +274,25 @@ def main(args=None):
     # step 3 of this run
     profile_at = global_iter + 3 if args.profile_dir else None
     profiling = False
+    trace_started = False
     start = time.time()
+    stop = GracefulShutdown().__enter__()
     for epoch in range(args.total_epoch):
+        if stop.requested:
+            break
         # the ladder itself is applied inside the jitted optimizer via
         # cfg.steps_per_epoch (train/gan.py); logged here for visibility
         lr_now = float(ladder(epoch))
         use_disc = epoch >= args.pose_dis_warm_epoch
         for batch in epoch_batches(epoch):
+            if stop.requested:
+                # SIGTERM/SIGINT (pod preemption) — leave the loop at a
+                # step boundary; the final save below checkpoints a
+                # consistent state and --resume continues from it
+                logging.warning(
+                    "shutdown requested — checkpointing at step %d and "
+                    "exiting cleanly", global_iter)
+                break
             rng = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1),
                                      global_iter)
             if profile_at is not None and global_iter == profile_at:
@@ -283,6 +306,7 @@ def main(args=None):
                 _cache_restore = _suspend_compilation_cache()
                 jax.profiler.start_trace(args.profile_dir)
                 profiling = True
+                trace_started = True
             gen_state, disc_state, metrics = gan.train_step(
                 gen_state, disc_state, batch, rng, cfg, use_disc=use_disc)
             global_iter += 1
@@ -311,9 +335,18 @@ def main(args=None):
         jax.profiler.stop_trace()
         _cache_restore()
         logging.info("profiler trace written to %s", args.profile_dir)
+    if profile_at is not None and not trace_started:
+        logging.warning(
+            "--profile_dir was set but the run ended before the trace "
+            "window opened (needs >%d steps past the resume point; ran "
+            "to step %d) — no trace was written (ADVICE r3)",
+            profile_at, global_iter)
     save_all()
-    logging.info("done: %d iters in %.1fs", global_iter,
-                 time.time() - start)
+    saver.close()  # barrier: the final checkpoint is committed
+    stop.__exit__(None, None, None)
+    logging.info("done: %d iters in %.1fs%s", global_iter,
+                 time.time() - start,
+                 " (clean shutdown on signal)" if stop.requested else "")
     return gen_state, disc_state
 
 

@@ -187,6 +187,14 @@ class SpeechMotionDataset:
         (multi-host per-process assembly — see SyntheticGestureDataset)."""
         from .synthetic import make_batch
 
+        if rows is not None and not drop_last:
+            # a short tail window would slice to ragged/empty per-process
+            # batches and desync make_array_from_process_local_data
+            # (ADVICE r3)
+            raise ValueError("rows= (per-process assembly) requires "
+                             "drop_last=True: a tail window shorter than "
+                             "batch_size would yield mismatched "
+                             "per-process slices")
         order = np.arange(len(self))
         if shuffle:
             np.random.RandomState(seed).shuffle(order)

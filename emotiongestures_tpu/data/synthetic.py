@@ -122,6 +122,14 @@ class SyntheticGestureDataset:
         (multi-host: every process computes the same seeded permutation
         but assembles only its `process_batch_slice` rows, so no host
         materialises the global batch)."""
+        if rows is not None and not drop_last:
+            # a short tail window would slice to ragged/empty per-process
+            # batches and desync make_array_from_process_local_data
+            # (ADVICE r3)
+            raise ValueError("rows= (per-process assembly) requires "
+                             "drop_last=True: a tail window shorter than "
+                             "batch_size would yield mismatched "
+                             "per-process slices")
         order = np.arange(self.n_samples)
         if shuffle:
             np.random.RandomState(seed).shuffle(order)

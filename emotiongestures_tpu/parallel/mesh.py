@@ -114,16 +114,47 @@ def tp_setup(num_devices: int, model_parallel: int, batch_size: int):
 def shard_state_tp(state, mesh: Mesh):
     """Tensor-parallel placement for a TrainState: FFN/MHA kernels sharded
     on `model` (tp_param_shardings), everything else replicated. The
-    optimizer state's Adam moments mirror the param tree paths, so the
-    SAME path rules place each moment beside its param shard — sharded
+    optimizer state's Adam moments mirror the param tree paths (plain
+    Adam: ScaleByAdamState.mu/nu are param-shaped pytrees), so the SAME
+    path rules place each moment beside its param shard — sharded
     optimizer state comes for free (a ZeRO-style memory win on the TP'd
-    kernels; the reference has no model parallelism at all, SURVEY §2.6)."""
+    kernels; the reference has no model parallelism at all, SURVEY §2.6).
+
+    ADVICE r3 guard: an optax wrapper that restructures state paths
+    (masked / multi_transform / inject_hyperparams) breaks the
+    path-mirroring assumption, so each matched opt_state leaf is
+    shape-checked against the param the same rule shards; a mismatch
+    falls back to replication instead of silently mis-sharding."""
+    param_shardings = tp_param_shardings(state.params, mesh)
+    # shapes the TP rules are allowed to shard, keyed by trailing
+    # param path (e.g. "pos_ffn/w_1/kernel"), collected from the params
+    sharded_shapes = {}
+    for (path, leaf), (_, sh) in zip(
+            jax.tree_util.tree_leaves_with_path(state.params),
+            jax.tree_util.tree_leaves_with_path(param_shardings)):
+        if sh.spec != P():
+            name = "/".join(getattr(p, "key", getattr(p, "name", str(p)))
+                            for p in path)
+            sharded_shapes[name] = np.shape(leaf)
+
+    def opt_spec_for(path, leaf):
+        name = "/".join(getattr(p, "key", getattr(p, "name", str(p)))
+                        for p in path)
+        for pattern, spec_fn in _TP_RULES:
+            if pattern.match(name):
+                matches = [s for p, s in sharded_shapes.items()
+                           if name.endswith(p)]
+                if np.shape(leaf) in matches:
+                    return NamedSharding(mesh, spec_fn(np.ndim(leaf)))
+                return NamedSharding(mesh, P())  # restructured state
+        return NamedSharding(mesh, P())
+
     return state.replace(
-        params=apply_shardings(
-            state.params, tp_param_shardings(state.params, mesh)),
+        params=apply_shardings(state.params, param_shardings),
         batch_stats=replicate(state.batch_stats, mesh),
         opt_state=apply_shardings(
-            state.opt_state, tp_param_shardings(state.opt_state, mesh)),
+            state.opt_state,
+            jax.tree_util.tree_map_with_path(opt_spec_for, state.opt_state)),
     )
 
 

@@ -176,6 +176,7 @@ def train_k_fold(
     compute_dtype: str = "float32",
     mesh=None,
     prefetch: int = 2,
+    should_stop=None,
 ):
     """Host-side K-fold driver mirroring train_...py:109-204. Returns the
     per-fold final test accuracies.
@@ -183,13 +184,21 @@ def train_k_fold(
     `mesh`: a (data,)-axis jax Mesh for GSPMD data parallelism — the
     reference wraps the model in DataParallel when >1 GPU is visible
     (train_...py:129-130); here the state is replicated and the global
-    batch sharded over the mesh, with the same jitted train_step."""
+    batch sharded over the mesh, with the same jitted train_step.
+
+    `should_stop`: zero-arg callable polled at step boundaries
+    (GracefulShutdown.requested — pod preemption); when it turns true the
+    current fold checkpoints and the driver returns the folds finished so
+    far."""
     log = logging.getLogger("emotiongestures_tpu.classifier")
+    should_stop = should_stop or (lambda: False)
     results = []
     for fold, (train_idx, val_idx) in enumerate(
         k_fold_indices(len(dataset), n_splits, seed)
     ):
         if max_folds is not None and fold >= max_folds:
+            break
+        if should_stop():
             break
         state = create_state(jax.random.PRNGKey(seed + fold), lr=lr)
         if mesh is not None:
@@ -198,6 +207,8 @@ def train_k_fold(
             state = replicate_state(state, mesh)
         global_iter = 0
         for epoch in range(epochs):
+            if should_stop():
+                break
             # epoch-level class re-weighting over this fold's train split
             all_labels = np.stack(
                 [dataset[int(i)]["eid_label"] for i in train_idx])
@@ -206,6 +217,13 @@ def train_k_fold(
                 train_idx)
             for batch in _batch_stream(dataset, order, batch_size, mesh,
                                        prefetch):
+                if should_stop():
+                    log.warning("shutdown requested — checkpointing fold "
+                                "%d at iter %d and stopping", fold + 1,
+                                global_iter)
+                    if checkpoint_fn is not None:
+                        checkpoint_fn(state, fold, epoch, global_iter)
+                    break
                 state, metrics = train_step(
                     state, batch["spectrogram"], batch["eid_label"], alpha,
                     compute_dtype=compute_dtype)
@@ -225,6 +243,8 @@ def train_k_fold(
                     )
                     if checkpoint_fn is not None:
                         checkpoint_fn(state, fold, epoch, global_iter)
+        if should_stop():  # skip the test pass; the fold checkpointed
+            break
         test_acc, cm = test_model(state, test_dataset, batch_size,
                                   compute_dtype, mesh=mesh,
                                   prefetch=prefetch)

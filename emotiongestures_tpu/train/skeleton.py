@@ -53,3 +53,56 @@ def train_step(state: TrainState, poses, labels_onehot, rng):
 def predict(state: TrainState, poses):
     logits, mid = state.apply_fn(model_variables(state), poses, train=False)
     return logits, mid
+
+
+class PlateauDetector:
+    """Auto-reseed for the reference architecture's init lottery
+    (VERDICT r3 Weak #4; BASELINE.md round 3): the post-LN + flatten-MLP
+    classifier head (skeleton_classifer/Models.py:199-283) converges or
+    plateaus at chance depending purely on the init seed — seed 1 hits
+    100% by iter 190 while seeds 0/2 sit at ln(4) loss for thousands of
+    full-batch iters. Rather than deviate from the reference init, the
+    trainer detects the plateau and restarts from a fresh seed, bounded
+    by `max_reseeds`.
+
+    Criterion: if the best training accuracy seen since the last
+    (re)start has not reached `acc_target` percent within `patience`
+    steps, a reseed is due. A converging run crosses 30% within a couple
+    hundred iters on every learnable dataset measured; a lottery loser
+    oscillates around chance (12.5%) indefinitely.
+
+    Usage:
+        det = PlateauDetector()
+        ...
+        if det.update(float(metrics["acc"])):
+            state = create_state(det.next_key(base_key), ...)
+    """
+
+    def __init__(self, patience: int = 300, acc_target: float = 30.0,
+                 max_reseeds: int = 8):
+        self.patience = patience
+        self.acc_target = acc_target
+        self.max_reseeds = max_reseeds
+        self.attempts = 0
+        self._steps = 0
+        self._best_acc = 0.0
+
+    def update(self, acc: float) -> bool:
+        """Record one step's training accuracy; True => reseed now."""
+        self._steps += 1
+        self._best_acc = max(self._best_acc, acc)
+        if self._best_acc >= self.acc_target:
+            return False
+        if self._steps >= self.patience and self.attempts < self.max_reseeds:
+            self.attempts += 1
+            self._steps = 0
+            self._best_acc = 0.0
+            return True
+        return False
+
+    def next_key(self, base_key):
+        """Deterministic fresh init key for the current attempt —
+        identical on every process of a multi-host run (the accuracy
+        feeding update() is computed from the replicated global batch,
+        so all processes reseed in lockstep)."""
+        return jax.random.fold_in(base_key, 104729 + self.attempts)

@@ -1,2 +1,3 @@
 from .logging import set_logger  # noqa: F401
-from .checkpoint import save_checkpoint, load_checkpoint, latest_step  # noqa: F401
+from .checkpoint import (AsyncSaver, GracefulShutdown, latest_step,  # noqa: F401
+                         load_checkpoint, save_checkpoint)

@@ -1,11 +1,15 @@
 """Checkpoint save/load (SURVEY.md §5): orbax pytree checkpoints carrying
-{params, batch_stats, opt_state, step}; resume-from-latest for failure
-recovery (the reference's torch.save/state_dict path is
-utils/train_utils.py:149-213).
+{params, batch_stats, opt_state, step}; resume-from-latest plus
+preemption-safe non-blocking saves (AsyncSaver + GracefulShutdown) for
+failure recovery (the reference's torch.save/state_dict path is
+utils/train_utils.py:149-213; it has no recovery story at all).
 """
 from __future__ import annotations
 
 import re
+import signal
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import jax
@@ -22,16 +26,15 @@ def _state_tree(state):
     }
 
 
-def save_checkpoint(state, directory, step: int | None = None,
-                    max_to_keep: int | None = 5):
-    """Write `checkpoint_iteration{step}` under `directory` (the
-    reference's naming, train_...py:197-199), pruning to the newest
-    `max_to_keep` checkpoints (None keeps everything)."""
+def _write_tree(tree, directory: Path, step: int,
+                max_to_keep: int | None):
+    """Serialize an already-host-local tree to
+    `directory/checkpoint_iteration{step}` and prune old checkpoints.
+    Crash-safe: orbax stages into a `...orbax-checkpoint-tmp-*` dir and
+    renames on commit, and `latest_step`'s fullmatch regex never sees the
+    staging name — a kill mid-write is invisible to resume."""
     import shutil
 
-    directory = Path(directory).absolute()
-    directory.mkdir(parents=True, exist_ok=True)
-    step = int(state.step) if step is None else int(step)
     path = directory / f"checkpoint_iteration{step}"
     if jax.process_count() > 1:
         # multi-host: the tree is already host-local numpy (device_get of
@@ -49,7 +52,7 @@ def save_checkpoint(state, directory, step: int | None = None,
     else:
         ckptr = ocp.PyTreeCheckpointer()
     with ckptr:
-        ckptr.save(path, _state_tree(state), force=True)
+        ckptr.save(path, tree, force=True)
     if max_to_keep is not None:
         steps = sorted(
             int(m.group(1))
@@ -60,6 +63,120 @@ def save_checkpoint(state, directory, step: int | None = None,
             shutil.rmtree(directory / f"checkpoint_iteration{old}",
                           ignore_errors=True)
     return path
+
+
+def save_checkpoint(state, directory, step: int | None = None,
+                    max_to_keep: int | None = 5):
+    """Write `checkpoint_iteration{step}` under `directory` (the
+    reference's naming, train_...py:197-199), pruning to the newest
+    `max_to_keep` checkpoints (None keeps everything). Blocking; for
+    in-train-loop saves prefer AsyncSaver."""
+    directory = Path(directory).absolute()
+    directory.mkdir(parents=True, exist_ok=True)
+    step = int(state.step) if step is None else int(step)
+    return _write_tree(_state_tree(state), directory, step, max_to_keep)
+
+
+class AsyncSaver:
+    """Non-blocking checkpoint writer for train loops (SURVEY §5
+    failure-recovery: the TPU-native equivalent of a DataLoader-era
+    torch.save is a save that does not stall the device).
+
+    Split of work: the device->host fetch (`_state_tree`) runs on the
+    CALLING thread — the train steps donate their input states
+    (train/gan.py:143), so the buffers must be read before the next step
+    dispatches — while orbax serialization, disk write, and pruning run
+    on a single background worker. One save is in flight at a time; a
+    new save (or `wait()`/`close()`) surfaces any error from the
+    previous one.
+
+    Usage:
+        saver = AsyncSaver()
+        ...
+        saver.save(state, ckpt_dir)        # returns after D2H copy
+        ...
+        saver.close()                      # final barrier at exit
+    """
+
+    def __init__(self):
+        self._executor = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="egtp-ckpt")
+        self._pending = None
+
+    def save(self, state, directory, step: int | None = None,
+             max_to_keep: int | None = 5):
+        directory = Path(directory).absolute()
+        directory.mkdir(parents=True, exist_ok=True)
+        step = int(state.step) if step is None else int(step)
+        tree = _state_tree(state)  # D2H now — buffers die at next step
+        self.wait()
+        self._pending = self._executor.submit(
+            _write_tree, tree, directory, step, max_to_keep)
+
+    def wait(self):
+        """Block until the in-flight save (if any) committed; re-raises
+        its exception here if it failed."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+
+    def close(self):
+        self.wait()
+        self._executor.shutdown()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+class GracefulShutdown:
+    """SIGTERM/SIGINT -> a flag the train loop polls at step boundaries
+    (SURVEY §5: TPU pods get preempted; the preemption notice is a
+    SIGTERM). The loop saves a final checkpoint and exits cleanly instead
+    of dying mid-write. Second signal: default behavior (hard kill) —
+    the handler uninstalls itself, so a stuck save can still be killed.
+
+    Usage:
+        with GracefulShutdown() as stop:
+            for epoch ...:
+                for batch ...:
+                    if stop.requested: break
+                    ...
+    """
+
+    def __init__(self, signals=(signal.SIGTERM, signal.SIGINT)):
+        self._signals = signals
+        self._previous = {}
+        self._event = threading.Event()
+
+    @property
+    def requested(self) -> bool:
+        return self._event.is_set()
+
+    def _handler(self, signum, frame):
+        self._event.set()
+        # restore default so a second signal kills immediately
+        signal.signal(signum, self._previous.get(signum, signal.SIG_DFL))
+
+    def __enter__(self):
+        for s in self._signals:
+            try:
+                self._previous[s] = signal.signal(s, self._handler)
+            except ValueError:  # not the main thread (tests)
+                pass
+        return self
+
+    def __exit__(self, *exc):
+        for s, prev in self._previous.items():
+            try:
+                if signal.getsignal(s) == self._handler:
+                    signal.signal(s, prev)
+            except ValueError:
+                pass
+        return False
 
 
 def latest_step(directory) -> int | None:

@@ -884,32 +884,58 @@ def torch_table_to_flax_state(variables, torch_state, table,
     return new_vars, unmapped
 
 
-def load_reference_state_dict(path, map_location="cpu"):
+def _torch_load_checked(path, map_location, allow_pickle: bool):
+    """torch.load with safe-by-default deserialization: tensors-only
+    (`weights_only=True`) first; full pickle — which executes arbitrary
+    code from the file — only behind an explicit `allow_pickle=True`
+    opt-in (the CLIs expose it as --allow_pickle). Reference-derived
+    .pth artifacts are untrusted content (ADVICE r3)."""
+    import torch
+
+    try:
+        return torch.load(path, map_location=map_location,
+                          weights_only=True)
+    except Exception as exc:
+        if not allow_pickle:
+            raise RuntimeError(
+                f"{path} is not loadable as a tensors-only checkpoint "
+                "(it pickles arbitrary python objects — e.g. the "
+                "reference's rich dict checkpoints carrying args/"
+                "lang_model, utils/train_utils.py:149-213). Unpickling "
+                "an untrusted file executes arbitrary code; re-run with "
+                "--allow_pickle (allow_pickle=True) only if you trust "
+                f"its origin. torch said: {exc}") from exc
+        return torch.load(path, map_location=map_location,
+                          weights_only=False)
+
+
+def load_reference_state_dict(path, map_location="cpu",
+                              allow_pickle: bool = False):
     """torch.load a reference checkpoint and return the flat state_dict:
     unwraps the rich-dict 'gen_dict' layout (utils/train_utils.py:168-213)
     when present. 'module.' DataParallel prefixes are left for
     torch_table_to_flax_state / torch_state_to_flax_generator to strip.
     Shared by egtp-convert-checkpoint and the eval CLI's .pth importer so
-    layout handling cannot drift between them."""
-    import torch
-
-    raw = torch.load(path, map_location=map_location, weights_only=False)
+    layout handling cannot drift between them. Plain state_dicts load
+    with weights_only=True; rich-dict layouts pickle arbitrary objects
+    and therefore require `allow_pickle=True` (see _torch_load_checked)."""
+    raw = _torch_load_checked(path, map_location, allow_pickle)
     if isinstance(raw, dict) and "gen_dict" in raw:
         raw = raw["gen_dict"]
     return raw
 
 
-def load_reference_dict_checkpoint(path, map_location="cpu"):
+def load_reference_dict_checkpoint(path, map_location="cpu",
+                                   allow_pickle: bool = False):
     """Load the reference's rich dict checkpoints
     (utils/train_utils.py:168-213): {'args', 'epoch', 'lang_model',
     'speaker_model', 'pose_dim', 'gen_dict' | 'gen_dict_1..3'+'audio_dict'}.
     Returns the raw dict with every state_dict's 'module.' prefixes
     stripped; feed `gen_dict` to torch_state_to_flax_generator or the
-    hierarchical dicts to the corresponding baseline ports."""
-    import torch
-
-    checkpoint = torch.load(path, map_location=map_location,
-                            weights_only=False)
+    hierarchical dicts to the corresponding baseline ports. These
+    checkpoints pickle arbitrary objects (args Namespace, Vocab), so
+    loading one requires `allow_pickle=True` (see _torch_load_checked)."""
+    checkpoint = _torch_load_checked(path, map_location, allow_pickle)
 
     def strip(sd):
         return {k.replace("module.", "", 1): v for k, v in sd.items()}

@@ -56,6 +56,35 @@ def test_train_auxiliary_main(tmp_path, model):
         assert int(resumed.step) == int(state.step) * 2
 
 
+@pytest.mark.slow
+def test_train_auxiliary_skeleton_plateau_reseed(tmp_path):
+    """Forced plateau (unreachable acc target): the skeleton trainer
+    reseeds, drops the stale attempt's checkpoints, and finishes with a
+    trainable state (VERDICT r3 Weak #4 wiring)."""
+    from emotiongestures_tpu.cli import train_auxiliary as cli
+
+    args = cli.build_parser().parse_args([
+        "--model", "skeleton", "--synthetic", "16", "--batch_size", "8",
+        "--total_epoch", "2", "--save_every", "1",
+        "--model_save_path", str(tmp_path / "aux"),
+        "--plateau_patience", "1", "--plateau_acc", "101.0",
+        "--max_reseeds", "1",
+    ])
+    state = cli.main(args)
+    # set_logger reconfigures root handlers (so caplog can't see the
+    # records) — assert on the trainer's own log file instead
+    log_text = (tmp_path / "aux" / "train_skeleton.log").read_text()
+    assert "plateau" in log_text
+    assert int(state.step) >= 1
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # the post-reseed checkpoints restart from step 1 — stale
+    # higher-step dirs from the dropped attempt must be gone
+    from emotiongestures_tpu.utils import latest_step
+
+    assert latest_step(tmp_path / "aux" / "skeleton") == int(state.step)
+
+
 def test_console_script_wrappers_return_none():
     """ADVICE r2: the [project.scripts] entry points must not return
     main()'s rich value (sys.exit(dict/list/count) exits nonzero). Every
@@ -293,6 +322,85 @@ def test_train_emotion_gesture_profile_dir(tmp_path):
     assert "STEP 4" in proc.stdout
     traces = list(trace_dir.rglob("*.xplane.pb"))
     assert traces, f"no profiler trace written under {trace_dir}"
+
+
+@pytest.mark.slow
+def test_train_emotion_gesture_sigterm_checkpoints_and_resumes(tmp_path):
+    """Preemption safety (SURVEY §5, VERDICT r3 item 4): SIGTERM mid-epoch
+    -> the trainer checkpoints at a step boundary and exits cleanly
+    (returncode 0); a --resume run continues from that step."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+    from pathlib import Path
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    root = Path(__file__).resolve().parent.parent
+    env["PYTHONPATH"] = str(root) + os.pathsep + env.get("PYTHONPATH", "")
+    run_dir = tmp_path / "run"
+    base_flags = (
+        f"    '--synthetic', '16', '--batch_size', '8',\n"
+        f"    '--d_model', '64', '--latent_dim', '128', '--gen_layers',"
+        f" '1',\n"
+        f"    '--save_every', '1000', '--model_save_path',"
+        f" {str(run_dir)!r},\n"
+    )
+    script = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from emotiongestures_tpu.cli import train_emotion_gesture as cli\n"
+        "args = cli.build_parser().parse_args([\n"
+        "    '--total_epoch', '10000',\n" + base_flags + "])\n"
+        "gen, _ = cli.main(args)\n"
+        "print('STEP', int(gen.step), flush=True)\n"
+    )
+    proc = subprocess.Popen([sys.executable, "-c", script], cwd=root,
+                            env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+    try:
+        # wait until training demonstrably progresses (first metrics line
+        # lands at iter 10), then preempt
+        metrics = run_dir / "metrics.jsonl"
+        deadline = time.time() + 1200
+        while time.time() < deadline:
+            if metrics.exists() and metrics.stat().st_size > 0:
+                break
+            if proc.poll() is not None:
+                raise AssertionError(proc.stderr.read()[-3000:])
+            time.sleep(0.5)
+        else:
+            raise AssertionError("trainer never reached iter 10")
+        proc.send_signal(signal.SIGTERM)
+        out, err = proc.communicate(timeout=600)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+    assert proc.returncode == 0, err[-3000:]
+    assert "STEP" in out
+    killed_step = int(out.split("STEP", 1)[1].split()[0])
+    assert killed_step >= 10
+    from emotiongestures_tpu.utils import latest_step
+
+    assert latest_step(run_dir / "generator") == killed_step
+    assert latest_step(run_dir / "discriminator") == killed_step
+
+    # resume continues the step counter from the preempted checkpoint
+    resume = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from emotiongestures_tpu.cli import train_emotion_gesture as cli\n"
+        "args = cli.build_parser().parse_args([\n"
+        "    '--total_epoch', '1', '--resume',\n" + base_flags + "])\n"
+        "gen, _ = cli.main(args)\n"
+        "print('STEP', int(gen.step), flush=True)\n"
+    )
+    done = subprocess.run([sys.executable, "-c", resume], cwd=root, env=env,
+                          capture_output=True, text=True, timeout=2400)
+    assert done.returncode == 0, done.stderr[-3000:]
+    resumed_step = int(done.stdout.split("STEP", 1)[1].split()[0])
+    assert resumed_step == killed_step + 2  # 16 samples / batch 8
 
 
 @pytest.mark.slow

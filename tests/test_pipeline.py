@@ -88,6 +88,23 @@ def test_batches_rows_slice_assembles_only_local_rows():
         np.testing.assert_array_equal(f["pose_seq"][2:], b["pose_seq"])
 
 
+def test_batches_rows_requires_drop_last():
+    """ADVICE r3: rows= with drop_last=False would slice ragged tail
+    windows into mismatched per-process batches — both dataset kinds
+    refuse the combination up front."""
+    import pytest
+
+    from emotiongestures_tpu.data.dataset import SpeechMotionDataset
+
+    ds = SyntheticGestureDataset(n_samples=10)
+    with pytest.raises(ValueError, match="drop_last"):
+        next(ds.batches(4, drop_last=False, rows=slice(0, 2)))
+    real = SpeechMotionDataset.__new__(SpeechMotionDataset)  # no store I/O
+    with pytest.raises(ValueError, match="drop_last"):
+        next(SpeechMotionDataset.batches(real, 4, drop_last=False,
+                                         rows=slice(0, 2)))
+
+
 def test_prefetcher_propagates_errors():
     def bad_iter():
         yield {"x": np.zeros(3)}

@@ -206,3 +206,35 @@ def test_reference_dict_checkpoint_loader(tmp_path):
     assert "gru.weight" in out["gen_dict_1"]
     assert "conv.weight" in out["audio_dict"]
     assert out["epoch"] == 7 and out["pose_dim"] == 27
+
+
+def test_checkpoint_loader_refuses_pickle_by_default(tmp_path):
+    """ADVICE r3: arbitrary-object checkpoints (the reference's real rich
+    dicts carry an argparse.Namespace + Vocab) must not unpickle without
+    the explicit allow_pickle opt-in; with it, they load."""
+    import argparse as ap
+
+    import pytest
+    import torch
+
+    from emotiongestures_tpu.utils.torch_port import (
+        load_reference_dict_checkpoint,
+        load_reference_state_dict,
+    )
+
+    ckpt = {"args": ap.Namespace(n_poses=34), "epoch": 7,
+            "gen_dict": {"module.fc.weight": torch.zeros(2, 3)}}
+    p = tmp_path / "rich.pth"
+    torch.save(ckpt, p)
+    with pytest.raises(RuntimeError, match="allow_pickle"):
+        load_reference_dict_checkpoint(p)
+    with pytest.raises(RuntimeError, match="allow_pickle"):
+        load_reference_state_dict(p)
+    out = load_reference_dict_checkpoint(p, allow_pickle=True)
+    assert "fc.weight" in out["gen_dict"]
+    sd = load_reference_state_dict(p, allow_pickle=True)
+    assert "module.fc.weight" in sd
+    # plain state_dicts stay loadable with the safe default
+    plain = tmp_path / "plain.pth"
+    torch.save({"fc.weight": torch.zeros(2, 3)}, plain)
+    assert "fc.weight" in load_reference_state_dict(plain)

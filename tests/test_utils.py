@@ -39,6 +39,70 @@ def test_load_checkpoint_missing(tmp_path):
     assert not ok and restored is state
 
 
+def test_async_saver_roundtrip_and_pruning(tmp_path, rng):
+    """AsyncSaver (SURVEY §5 failure recovery): background writes commit
+    the same loadable layout as save_checkpoint; max_to_keep prunes; the
+    final close() is the durability barrier."""
+    from emotiongestures_tpu.utils import AsyncSaver
+
+    state = fgd.create_state(jax.random.PRNGKey(0))
+    poses = jnp.asarray(rng.randn(4, 60, 282), jnp.float32)
+    with AsyncSaver() as saver:
+        for i in range(4):
+            state, _ = fgd.train_step(state, poses, jax.random.PRNGKey(i))
+            saver.save(state, tmp_path / "ckpt", max_to_keep=2)
+    assert latest_step(tmp_path / "ckpt") == 4
+    kept = sorted(p.name for p in (tmp_path / "ckpt").iterdir()
+                  if p.name.startswith("checkpoint_iteration"))
+    assert kept == ["checkpoint_iteration3", "checkpoint_iteration4"]
+    fresh = fgd.create_state(jax.random.PRNGKey(42))
+    restored, ok = load_checkpoint(fresh, tmp_path / "ckpt")
+    assert ok and int(restored.step) == 4
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_saver_surfaces_worker_errors(tmp_path):
+    """A failed background write raises at the next save/wait/close, not
+    silently."""
+    import pytest
+
+    from emotiongestures_tpu.utils import AsyncSaver
+    from emotiongestures_tpu.utils import checkpoint as ckpt_mod
+
+    state = fgd.create_state(jax.random.PRNGKey(0))
+    saver = AsyncSaver()
+    orig = ckpt_mod._write_tree
+    try:
+        def boom(*a, **k):
+            raise OSError("disk full")
+
+        ckpt_mod._write_tree = boom
+        saver._pending = saver._executor.submit(boom)
+        with pytest.raises(OSError, match="disk full"):
+            saver.wait()
+    finally:
+        ckpt_mod._write_tree = orig
+        saver.close()
+
+
+def test_graceful_shutdown_flag():
+    """SIGTERM sets the flag; the handler restores the previous handler
+    so a second signal hard-kills."""
+    import os
+    import signal
+
+    from emotiongestures_tpu.utils import GracefulShutdown
+
+    with GracefulShutdown(signals=(signal.SIGUSR1,)) as stop:
+        assert not stop.requested
+        os.kill(os.getpid(), signal.SIGUSR1)
+        assert stop.requested
+        # handler restored to the pre-context one after the first signal
+        assert signal.getsignal(signal.SIGUSR1) != stop._handler
+
+
 def test_guard_finite():
     import pytest
 
