@@ -318,6 +318,95 @@ def bench_train_step(batch=128, compute_dtype="float32",
             "compute_dtype": compute_dtype, "update_order": update_order}
 
 
+def bench_sol_train(batch=128) -> dict:
+    """Train-step speed-of-light audit (VERDICT r3 item 8): jit each
+    SE-ResNet stage's forward+backward in ISOLATION (bf16 compute, train
+    mode, flagship train batch) with the honest harness, and bound each
+    against the MXU lane ceiling — a C_out-channel conv cannot exceed
+    C_out/128 of peak because the conv emitter maps output channels to
+    the 128 MXU lanes, and the same mapping caps BOTH backward convs
+    (dgrad emits C_in=C_out channels; wgrad's output matmul dimension is
+    C_out). The per-stage bounds combine into a lane-aware SoL for the
+    whole train step: SoL_ms = sum(stage_flops / stage_ceiling) +
+    rest_flops / peak, which answers whether the measured step (29.8%
+    MFU, BASELINE.md) is at its ceiling like serving's 40.1% or has a
+    kernel-level lever left."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from emotiongestures_tpu.nn.resnet_se import SEBasicBlock
+
+    class _Stage(nn.Module):
+        planes: int
+        blocks: int
+        stride: int
+        in_planes: int
+
+        @nn.compact
+        def __call__(self, x):
+            x = SEBasicBlock(
+                self.planes, stride=self.stride,
+                has_downsample=(self.stride != 1
+                                or self.in_planes != self.planes),
+                train=True, name="b0")(x)
+            for i in range(1, self.blocks):
+                x = SEBasicBlock(self.planes, train=True, name=f"b{i}")(x)
+            return x
+
+    # the 3-stage audio encoder geometry (nn/resnet_se.py docstring)
+    stages = [
+        ("stage1 3xblock(32)", _Stage(32, 3, 1, 32), (batch, 128, 124, 32)),
+        ("stage2 4xblock(64)", _Stage(64, 4, 2, 32), (batch, 128, 124, 32)),
+        ("stage3 6xblock(128)", _Stage(128, 6, 2, 64), (batch, 64, 62, 64)),
+    ]
+    rows, sol_ms, tot_flops = [], 0.0, 0.0
+    for name, mod, shape in stages:
+        x = jnp.asarray(np.random.RandomState(0).randn(*shape),
+                        jnp.bfloat16)
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16), variables["params"])
+        bstats = variables["batch_stats"]
+
+        @jax.jit
+        def fwd_bwd(params, bstats, x):
+            def loss(p, x):
+                out, upd = mod.apply(
+                    {"params": p, "batch_stats": bstats}, x,
+                    mutable=["batch_stats"])
+                return jnp.sum(out.astype(jnp.float32))
+            l, grads = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+            # checksum over loss + every grad leaf (nothing cancellable)
+            return l + sum(jnp.sum(jnp.abs(g).astype(jnp.float32))
+                           for g in jax.tree_util.tree_leaves(grads))
+
+        flops = _cost_flops(fwd_bwd.lower(params, bstats, x).compile())
+        dt = timed_rounds(lambda i, p=params, b=bstats, x=x: fwd_bwd(p, b, x),
+                          iters=10, rounds=3, warmup=2)
+        c_out = mod.planes
+        ceiling = BF16_PEAK_FLOPS * min(c_out, 128) / 128.0
+        implied = flops / dt if flops else 0.0
+        rows.append({
+            "stage": name, "ms": round(dt * 1e3, 2),
+            "gflops": round(flops / 1e9, 1) if flops else None,
+            "tflops": round(implied / 1e12, 1),
+            "pct_of_lane_ceiling": round(100 * implied / ceiling, 1),
+            "lane_ceiling_tflops": round(ceiling / 1e12, 1),
+        })
+        sol_ms += flops / ceiling * 1e3
+        tot_flops += flops
+        print(f"[sol] {name}: {dt * 1e3:.1f} ms fwd+bwd, "
+              f"{flops / 1e9:.0f} GFLOP, {implied / 1e12:.1f} TFLOP/s "
+              f"= {100 * implied / ceiling:.0f}% of its "
+              f"{ceiling / 1e12:.0f} TFLOP/s lane ceiling",
+              file=sys.stderr)
+    return {"batch": batch, "stages": rows,
+            "se_fwd_bwd_sol_ms": round(sol_ms, 1),
+            "se_fwd_bwd_flops_g": round(tot_flops / 1e9, 1)}
+
+
 def _build_eval_pipeline(batch, precision="float32"):
     """(step, flops) for the eval device pipeline at one batch size."""
     import jax
@@ -533,6 +622,9 @@ def main():
             if a.startswith("--windows="):
                 n = int(a.split("=")[1])
         print(json.dumps({"mode": "host_feed", **bench_host_feed(n)}))
+        return
+    if "--sol-train" in sys.argv:
+        print(json.dumps({"mode": "sol_train", **bench_sol_train()}))
         return
     if "--train" in sys.argv:
         cdtype = "bfloat16" if "--bf16" in sys.argv else "float32"

@@ -281,9 +281,15 @@ def main(args=None):
         if stop.requested:
             break
         # the ladder itself is applied inside the jitted optimizer via
-        # cfg.steps_per_epoch (train/gan.py); logged here for visibility
-        lr_now = float(ladder(epoch))
-        use_disc = epoch >= args.pose_dis_warm_epoch
+        # cfg.steps_per_epoch (train/gan.py); logged here for visibility.
+        # Epoch-indexed decisions use the GLOBAL epoch (restored step //
+        # steps_per_epoch) like the optimizer does, not the loop epoch —
+        # on a --resume the loop restarts at 0, which would both log a
+        # stale LR (seen in the round-4 flagship kill+resume rehearsal)
+        # and re-run the discriminator warm-up
+        global_epoch = global_iter // max(steps_per_epoch, 1)
+        lr_now = float(ladder(global_epoch))
+        use_disc = global_epoch >= args.pose_dis_warm_epoch
         for batch in epoch_batches(epoch):
             if stop.requested:
                 # SIGTERM/SIGINT (pod preemption) — leave the loop at a

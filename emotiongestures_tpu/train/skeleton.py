@@ -4,8 +4,11 @@ metric (test_...py:217-221).
 """
 from __future__ import annotations
 
+from collections import deque
+
 import jax
 import jax.numpy as jnp
+import optax
 
 from ..core import losses, schedules
 from ..models import SkeletonTransformer
@@ -14,7 +17,8 @@ from .state import TrainState, create_train_state, model_variables
 
 def create_state(key, lr: float = 3e-4, pose_dim: int = 282,
                  d_model: int = 512, d_inner: int = 2048,
-                 weight_decay: float = 0.0) -> TrainState:
+                 weight_decay: float = 0.0,
+                 warmup_steps: int = 0) -> TrainState:
     """No weight decay by default. The reference ships no skeleton
     trainer (this is a reconstruction); the wd=1e-5 convention copied
     from its AUDIO-classifier script (train_...py:132) is torch-style
@@ -23,13 +27,27 @@ def create_state(key, lr: float = 3e-4, pose_dim: int = 282,
     weights (fan-in 60*512) — measured on the synthetic set it pins the
     classifier at chance indefinitely, while wd=0 reaches 100% train
     accuracy in ~1.5k steps (round-3 ledger). Pass weight_decay
-    explicitly to restore the coupled-L2 behavior."""
+    explicitly to restore the coupled-L2 behavior.
+
+    `warmup_steps`: linear LR warmup 0 -> lr. The architecture descends
+    from the attention-is-all-you-need codebase whose published recipe
+    is warmup-based (Noam); at the reference's own width
+    (d_model=512, skeleton_classifer/Models.py:199-283) the post-LN
+    stack + flatten-MLP head with CONSTANT lr=3e-4 never escapes chance
+    on ANY of 9 seeds tried (round-4 flagship rehearsal: seed 0 pinned
+    at ln(4) for 3200 iters; 8 auto-reseeds each pinned at ln(8)),
+    while toy width d_model=128 converges without warmup on ~1/3 of
+    seeds. Warmup is therefore part of the reconstructed recipe, not a
+    deviation: 0 keeps the round-3 toy protocol byte-identical."""
     model = SkeletonTransformer(pose_dim=pose_dim, d_model=d_model,
                                 d_inner=d_inner)
     kp, kd = jax.random.split(key)
     variables = model.init({"params": kp, "dropout": kd},
                            jnp.zeros((1, 60, pose_dim), jnp.float32))
-    tx = schedules.adam(lr=lr, b1=0.5, b2=0.999,
+    sched = lr
+    if warmup_steps:
+        sched = optax.linear_schedule(0.0, lr, warmup_steps)
+    tx = schedules.adam(lr=sched, b1=0.5, b2=0.999,
                         weight_decay=weight_decay)
     return create_train_state(model, variables, tx)
 
@@ -65,11 +83,17 @@ class PlateauDetector:
     trainer detects the plateau and restarts from a fresh seed, bounded
     by `max_reseeds`.
 
-    Criterion: if the best training accuracy seen since the last
-    (re)start has not reached `acc_target` percent within `patience`
-    steps, a reseed is due. A converging run crosses 30% within a couple
-    hundred iters on every learnable dataset measured; a lottery loser
-    oscillates around chance (12.5%) indefinitely.
+    Criterion: if the MEAN training accuracy over the trailing `window`
+    steps has not reached `acc_target` percent within `patience` steps
+    since the last (re)start, a reseed is due, re-checked every step
+    thereafter. The trailing mean — not the best single step — is the
+    signal: the lottery's failure mode is the loss pinned at ln(4),
+    i.e. 4 EFFECTIVE classes ≈ 25% accuracy, whose minibatch noise band
+    (measured 20-29% at batch 128, round-4 rehearsal) throws single-step
+    spikes past 30% that would permanently disarm a best-acc criterion.
+    A converging run's trailing mean crosses 40% within a few hundred
+    iters on every learnable dataset measured; the ln4 plateau's
+    trailing mean never leaves the mid-20s.
 
     Usage:
         det = PlateauDetector()
@@ -78,25 +102,26 @@ class PlateauDetector:
             state = create_state(det.next_key(base_key), ...)
     """
 
-    def __init__(self, patience: int = 300, acc_target: float = 30.0,
-                 max_reseeds: int = 8):
+    def __init__(self, patience: int = 800, acc_target: float = 40.0,
+                 max_reseeds: int = 8, window: int = 50):
         self.patience = patience
         self.acc_target = acc_target
         self.max_reseeds = max_reseeds
+        self.window = window
         self.attempts = 0
         self._steps = 0
-        self._best_acc = 0.0
+        self._recent: deque[float] = deque(maxlen=window)
 
     def update(self, acc: float) -> bool:
         """Record one step's training accuracy; True => reseed now."""
         self._steps += 1
-        self._best_acc = max(self._best_acc, acc)
-        if self._best_acc >= self.acc_target:
+        self._recent.append(acc)
+        if (sum(self._recent) / len(self._recent)) >= self.acc_target:
             return False
         if self._steps >= self.patience and self.attempts < self.max_reseeds:
             self.attempts += 1
             self._steps = 0
-            self._best_acc = 0.0
+            self._recent.clear()
             return True
         return False
 

@@ -154,12 +154,35 @@ def test_skeleton_train(batch):
     assert logits.shape == (16, 8)
 
 
+def test_skeleton_warmup_schedule(batch):
+    """warmup_steps ramps the effective LR linearly from 0: the first
+    post-init step under warmup must move params far less than the
+    constant-lr trainer's first step (round-4 flagship rehearsal: the
+    post-LN d_model-512 head escapes chance ONLY with warmup)."""
+    def first_step_delta(warmup):
+        state = skeleton.create_state(jax.random.PRNGKey(0), d_model=128,
+                                      d_inner=256, warmup_steps=warmup)
+        new_state, _ = skeleton.train_step(
+            state, batch["pose_seq"], batch["eid_label"],
+            jax.random.PRNGKey(0))
+        deltas = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            new_state.params, state.params)
+        return max(jax.tree_util.tree_leaves(deltas))
+
+    # constant lr: Adam's first step is ~lr in magnitude; 100-step
+    # warmup scales step 1 by 1/100
+    assert first_step_delta(100) < 0.2 * first_step_delta(0)
+
+
 def test_plateau_detector():
-    """Skeleton init-lottery mitigation (VERDICT r3 Weak #4): chance-level
+    """Skeleton init-lottery mitigation (VERDICT r3 Weak #4): plateau-band
     accuracy for `patience` steps triggers a bounded number of reseeds;
-    crossing acc_target disarms the detector for good; reseed keys are
+    the criterion is the TRAILING-WINDOW MEAN, so the ln4 plateau's
+    single-step spikes (round-4 rehearsal: noise band 20-29% with spikes
+    past 30 at batch 128) cannot permanently disarm it; reseed keys are
     deterministic and distinct per attempt."""
-    det = skeleton.PlateauDetector(patience=5, acc_target=30.0,
+    det = skeleton.PlateauDetector(patience=5, acc_target=40.0,
                                    max_reseeds=2)
     fired_at = []
     for i in range(1, 25):
@@ -175,11 +198,17 @@ def test_plateau_detector():
     k2 = det2.next_key(base)
     assert not np.array_equal(np.asarray(k1), np.asarray(k2))
 
-    # a converging run never reseeds, even if acc dips later
-    det3 = skeleton.PlateauDetector(patience=2, acc_target=30.0)
-    assert not det3.update(50.0)
+    # a converging run (sustained high trailing mean) never reseeds
+    det3 = skeleton.PlateauDetector(patience=2, acc_target=40.0, window=4)
     for _ in range(10):
-        assert not det3.update(10.0)
+        assert not det3.update(80.0)
+
+    # the ln4 plateau WITH spikes past the old 30% best-acc threshold
+    # still reseeds — the round-4 failure mode of the best-acc criterion
+    det4 = skeleton.PlateauDetector(patience=6, acc_target=40.0,
+                                    max_reseeds=2, window=5)
+    accs = [22.0, 25.0, 31.2, 24.0, 26.5, 23.4, 33.6, 25.0, 24.2, 26.0]
+    assert any(det4.update(a) for a in accs)
 
 
 def test_classifier_bf16_compute_step(batch):
