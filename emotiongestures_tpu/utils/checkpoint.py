@@ -17,6 +17,77 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+# Directories this process holds the writer lock for (released atexit).
+_HELD_LOCKS: set = set()
+
+
+def _acquire_writer_lock(directory: Path) -> None:
+    """One writer process per checkpoint directory. Two trainers sharing
+    a directory silently destroy each other's work through max_to_keep
+    pruning — the round-4 flagship rehearsal lost its only
+    iteration-3200 skeleton checkpoint to exactly this (a second run's
+    prune deleted the first run's save). The lock file holds the writer
+    pid; a stale lock (dead pid, e.g. after a crash or preemption kill)
+    is reclaimed silently, so resume-after-kill is unaffected.
+    Best-effort and per-host: multi-host runs save from the primary
+    process only, so cross-host pid collisions cannot occur on the
+    happy path."""
+    import atexit
+    import os
+
+    directory = Path(directory)
+    lock = directory / ".egtp_writer.lock"
+    me = str(os.getpid()).encode()
+    if directory in _HELD_LOCKS:
+        if not lock.exists():  # dir was rmtree'd (e.g. plateau reseed)
+            lock.write_bytes(me)
+        return
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        with os.fdopen(fd, "wb") as f:
+            f.write(me)
+    except FileExistsError:
+        try:
+            holder = int(lock.read_bytes().decode().strip() or "0")
+        except (ValueError, OSError):
+            holder = 0
+        alive = False
+        if holder > 0 and holder != os.getpid():
+            try:
+                os.kill(holder, 0)
+                alive = True
+            except (ProcessLookupError, PermissionError):
+                alive = False
+        if alive:
+            raise RuntimeError(
+                f"checkpoint directory {directory} is being written by "
+                f"another live trainer (pid {holder}); concurrent writers "
+                f"prune each other's checkpoints (max_to_keep) — point "
+                f"the second run at its own --model_save_path, or remove "
+                f"{lock} if the holder is not a trainer")
+        # stale (crashed writer) — reclaim atomically
+        tmp = lock.with_suffix(".lock.tmp")
+        tmp.write_bytes(me)
+        os.replace(tmp, lock)
+    _HELD_LOCKS.add(directory)
+    atexit.register(_release_writer_lock, directory)
+
+
+def _release_writer_lock(directory: Path) -> None:
+    import os
+
+    directory = Path(directory)
+    if directory not in _HELD_LOCKS:
+        return
+    _HELD_LOCKS.discard(directory)
+    lock = directory / ".egtp_writer.lock"
+    try:
+        if int(lock.read_bytes().decode().strip() or "0") == os.getpid():
+            lock.unlink()
+    except (OSError, ValueError):
+        pass
+
+
 def _state_tree(state):
     return {
         "step": np.asarray(state.step),
@@ -73,6 +144,7 @@ def save_checkpoint(state, directory, step: int | None = None,
     in-train-loop saves prefer AsyncSaver."""
     directory = Path(directory).absolute()
     directory.mkdir(parents=True, exist_ok=True)
+    _acquire_writer_lock(directory)
     step = int(state.step) if step is None else int(step)
     return _write_tree(_state_tree(state), directory, step, max_to_keep)
 
@@ -107,6 +179,7 @@ class AsyncSaver:
              max_to_keep: int | None = 5):
         directory = Path(directory).absolute()
         directory.mkdir(parents=True, exist_ok=True)
+        _acquire_writer_lock(directory)
         step = int(state.step) if step is None else int(step)
         tree = _state_tree(state)  # D2H now — buffers die at next step
         self.wait()

@@ -63,6 +63,47 @@ def test_async_saver_roundtrip_and_pruning(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_writer_lock_rejects_live_foreign_writer(tmp_path):
+    """One writer per checkpoint dir: a lock held by a LIVE foreign pid
+    refuses the save (concurrent trainers prune each other's checkpoints
+    via max_to_keep — the round-4 rehearsal lost a converged skeleton
+    checkpoint to exactly this); a STALE lock (dead pid, crash/preempt)
+    is reclaimed so resume-after-kill keeps working."""
+    import subprocess
+
+    import pytest
+
+    from emotiongestures_tpu.utils import checkpoint as ckpt
+
+    state = fgd.create_state(jax.random.PRNGKey(0))
+
+    live = tmp_path / "live"
+    live.mkdir()
+    (live / ".egtp_writer.lock").write_bytes(b"1")  # pid 1: always alive
+    with pytest.raises(RuntimeError, match="another live trainer"):
+        save_checkpoint(state, live)
+
+    # stale lock: pid of an already-reaped child is dead
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    stale = tmp_path / "stale"
+    stale.mkdir()
+    (stale / ".egtp_writer.lock").write_bytes(str(dead.pid).encode())
+    path = save_checkpoint(state, stale)
+    assert path.exists()
+    import os
+
+    assert (stale / ".egtp_writer.lock").read_bytes() == str(
+        os.getpid()).encode()
+    # same process re-saves freely (lock is re-entrant per process)
+    save_checkpoint(state, stale, step=7)
+    assert latest_step(stale) == 7
+    ckpt._release_writer_lock(stale.absolute())
+    assert not (stale / ".egtp_writer.lock").exists()
+    ckpt._release_writer_lock(live.absolute())  # no-op: never acquired
+    assert (live / ".egtp_writer.lock").exists()
+
+
 def test_async_saver_surfaces_worker_errors(tmp_path):
     """A failed background write raises at the next save/wait/close, not
     silently."""
