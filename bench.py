@@ -584,6 +584,16 @@ def bench_host_feed(n_windows: int = 50000, batch: int = 128,
 
     # the full GAN-trainer path (decode + fixups + text grid + collate)
     full = rate(lambda: ds.batches(batch, shuffle=True, seed=1))
+    # same, per-record python path (native batch assembly disabled)
+    full_slow = rate(lambda: ds.batches(batch, shuffle=True, seed=1,
+                                        native=False))
+    # what the GAN trainer actually requests (fields=: no raw audio)
+    gan_keys = ("spectrogram", "text", "pose_seq", "eid_label")
+    trainer = rate(lambda: ds.batches(batch, shuffle=True, seed=1,
+                                      fields=gan_keys))
+    # the FGD auxiliary trainer's feed (pose_seq only)
+    fgd = rate(lambda: ds.batches(batch, shuffle=True, seed=1,
+                                  fields=("pose_seq",)))
     # native C++ batch decode (classifier-style fixed-shape fields)
     native = rate(lambda: store_batches(
         store, ("spectrogram", "pose_seq"), batch, shuffle=True, seed=1,
@@ -607,10 +617,14 @@ def bench_host_feed(n_windows: int = 50000, batch: int = 128,
         "store_gb": round((path / "data.bin").stat().st_size / 2**30, 2),
         "native_codec": store.native_available,
         "full_getitem_samples_per_s": round(full, 1),
+        "full_getitem_slowpath_samples_per_s": round(full_slow, 1),
+        "gan_trainer_fields_samples_per_s": round(trainer, 1),
+        "fgd_trainer_fields_samples_per_s": round(fgd, 1),
         "native_batch_decode_samples_per_s": round(native, 1),
         "python_batch_decode_samples_per_s": round(python, 1),
         "train_demand_per_chip": train_demand,
         "chips_fed_full_path": round(full / train_demand, 2),
+        "chips_fed_gan_trainer_path": round(trainer / train_demand, 2),
         "chips_fed_native_path": round(native / train_demand, 2),
     }
 

@@ -213,10 +213,11 @@ def main(args=None):
         rows (`rows=`), and the global array is built from those local
         rows via make_array_from_process_local_data — no host ever
         materialises the global batch."""
-        raw = ({k: b[k] for k in _KEYS}
-               for b in dataset.batches(args.batch_size, shuffle=True,
-                                        seed=args.seed + epoch,
-                                        rows=proc_rows))
+        # fields=_KEYS: the collator never assembles keys the step won't
+        # read (raw audio alone is 75% of a BEAT record's bytes)
+        raw = dataset.batches(args.batch_size, shuffle=True,
+                              seed=args.seed + epoch,
+                              rows=proc_rows, fields=_KEYS)
         if args.prefetch > 0:
             return Prefetcher(raw, buffer_size=args.prefetch,
                               sharding=sharding, place=place)

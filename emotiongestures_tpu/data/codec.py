@@ -19,6 +19,7 @@ pure-python fallback.
 from __future__ import annotations
 
 import json
+import math
 import struct
 
 import numpy as np
@@ -77,12 +78,62 @@ def decode_record(buf: bytes | memoryview) -> dict:
             off += 1
             shape = struct.unpack_from(f"<{ndim}q", view, off)
             off += 8 * ndim
-            nbytes = int(np.prod(shape)) * dtype.itemsize if ndim else \
-                dtype.itemsize
-            arr = np.frombuffer(view, dtype=dtype, count=int(np.prod(shape)),
+            count = math.prod(shape)
+            nbytes = count * dtype.itemsize
+            arr = np.frombuffer(view, dtype=dtype, count=count,
                                 offset=off).reshape(shape)
             off += nbytes
             out[name] = arr
+        elif kind == _KIND_JSON:
+            (length,) = struct.unpack_from("<I", view, off)
+            off += 4
+            out[name] = json.loads(bytes(view[off : off + length]))
+            off += length
+        else:
+            raise ValueError(f"unknown field kind {kind}")
+    return out
+
+
+_ITEMSIZE_CACHE: dict = {}
+
+
+def _itemsize(dtype_bytes: bytes) -> int:
+    size = _ITEMSIZE_CACHE.get(dtype_bytes)
+    if size is None:
+        size = np.dtype(dtype_bytes.decode()).itemsize
+        _ITEMSIZE_CACHE[dtype_bytes] = size
+    return size
+
+
+def decode_json_fields(buf: bytes | memoryview) -> dict:
+    """Decode ONLY the json-kind fields of a record (aux_info, word_seq),
+    skipping ndarray payloads without materialising them — the cheap
+    metadata path for batch iterators that gather the array fields
+    through the native codec (`GestureStore.batch_field`)."""
+    view = memoryview(buf)
+    if bytes(view[:4]) != MAGIC:
+        raise ValueError("bad magic; not an EGTP record")
+    version, n_fields = struct.unpack_from("<HH", view, 4)
+    if version != VERSION:
+        raise ValueError(f"unsupported record version {version}")
+    off = 8
+    out = {}
+    for _ in range(n_fields):
+        (name_len,) = struct.unpack_from("<B", view, off)
+        off += 1
+        name = bytes(view[off : off + name_len]).decode("utf-8")
+        off += name_len
+        (kind,) = struct.unpack_from("<B", view, off)
+        off += 1
+        if kind == _KIND_NDARRAY:
+            (dtype_len,) = struct.unpack_from("<B", view, off)
+            off += 1
+            itemsize = _itemsize(bytes(view[off : off + dtype_len]))
+            off += dtype_len
+            (ndim,) = struct.unpack_from("<B", view, off)
+            off += 1
+            shape = struct.unpack_from(f"<{ndim}q", view, off)
+            off += 8 * ndim + math.prod(shape) * itemsize
         elif kind == _KIND_JSON:
             (length,) = struct.unpack_from("<I", view, off)
             off += 4

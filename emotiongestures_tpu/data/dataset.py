@@ -182,10 +182,24 @@ class SpeechMotionDataset:
         return sample
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
-                drop_last: bool = True, rows: slice | None = None):
+                drop_last: bool = True, rows: slice | None = None,
+                native: bool = True, fields=None):
         """`rows` restricts each batch to that slice of its index window
-        (multi-host per-process assembly — see SyntheticGestureDataset)."""
-        from .synthetic import make_batch
+        (multi-host per-process assembly — see SyntheticGestureDataset).
+        `fields` restricts which keys are assembled — consumers that drop
+        keys anyway (the GAN trainer never reads raw audio — 75% of each
+        record's bytes; the FGD trainer only pose_seq) skip the decode
+        AND the collate copy for them.
+
+        When the C++ codec is built and the store layout is uniform
+        (probed once; any ragged record falls back permanently), batches
+        are assembled through the native batch gather — the big array
+        fields decode straight into the stacked output with one copy
+        instead of per-record `__getitem__` + `np.stack`, and only the
+        json fields (word_seq/aux_info) are decoded per record. Output
+        is value-identical to the per-record path (tests/test_data.py);
+        `native=False` forces the reference-shaped slow path."""
+        from .synthetic import BATCH_FIELDS, make_batch
 
         if rows is not None and not drop_last:
             # a short tail window would slice to ragged/empty per-process
@@ -195,6 +209,14 @@ class SpeechMotionDataset:
                              "drop_last=True: a tail window shorter than "
                              "batch_size would yield mismatched "
                              "per-process slices")
+        want = BATCH_FIELDS if fields is None else tuple(fields)
+        # the fast path reimplements exactly THIS class's __getitem__;
+        # subclasses with their own sample logic (TED) must stay slow
+        fast = (native
+                and type(self).__getitem__ is SpeechMotionDataset.__getitem__
+                and self.store.native_available
+                and set(want) <= set(BATCH_FIELDS)
+                and self._fast_probe() is not None)
         order = np.arange(len(self))
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
@@ -203,7 +225,80 @@ class SpeechMotionDataset:
             window = order[i:i + batch_size]
             if rows is not None:
                 window = window[rows]
-            yield make_batch([self[int(j)] for j in window])
+            if fast:
+                batch = self._batch_native(window, want)
+                if batch is not None:
+                    yield batch
+                    continue
+                fast = False  # ragged record mid-store: stay exact
+            yield make_batch([self[int(j)] for j in window], want)
+
+    def _fast_probe(self):
+        """Shapes that make the native batch path value-identical to
+        `__getitem__`: audio already at its fixed length (no pad/trim)
+        and a 2-D spectrogram. Probed from record 0 and cached; the
+        native gather itself enforces the same element count on every
+        other record (falls back on mismatch)."""
+        probe = getattr(self, "_fast_probe_cache", False)
+        if probe is not False:
+            return probe
+        probe = None
+        if len(self.store) > 0:
+            rec = self.store[0]
+            audio = rec.get("audio")
+            spec = rec.get("spectrogram")
+            pose = rec.get("pose_seq")
+            if (isinstance(audio, np.ndarray)
+                    and audio.shape == (self.expected_audio_length,)
+                    and isinstance(spec, np.ndarray) and spec.ndim == 2
+                    and isinstance(pose, np.ndarray) and pose.ndim >= 2):
+                probe = {"n_frames": pose.shape[0]}
+        self._fast_probe_cache = probe
+        return probe
+
+    def _batch_native(self, window, want) -> dict | None:
+        """One collated batch via `GestureStore.batch_field` (C++ gather)
+        + per-record json metadata, restricted to the `want` fields; None
+        when a record's shape disagrees with the probe (caller falls back
+        to the exact path)."""
+        idx = np.ascontiguousarray(window, dtype=np.int64)
+        n = len(idx)
+        n_frames = self._fast_probe()["n_frames"]
+        out = {}
+        try:
+            if "audio" in want:
+                out["audio"] = self.store.batch_field(idx, "audio")
+            if "spectrogram" in want:
+                out["spectrogram"] = self.store.batch_field(
+                    idx, "spectrogram"
+                )[:, :, : self.expected_spectrogram_length]
+            if "pose_seq" in want:
+                out["pose_seq"] = self.store.batch_field(
+                    idx, "pose_seq").reshape(n, n_frames, -1)
+        except ValueError:
+            return None
+        need_text = "text" in want and self.lang_model is not None
+        if need_text or "eid_label" in want:
+            metas = [self.store.json_fields(int(j)) for j in idx]
+            if "eid_label" in want:
+                out["eid_label"] = np.stack(
+                    [one_hot_eid(m["aux_info"]["eid"]) for m in metas])
+            if need_text:
+                text = np.empty((n, self.n_poses), dtype=np.int32)
+                for r, m in enumerate(metas):
+                    aux_info = m["aux_info"]
+                    duration = (aux_info["end_time"]
+                                - aux_info["start_time"])
+                    sample_end_time = (aux_info["start_time"]
+                                       + duration * self.n_poses / n_frames)
+                    text[r] = extend_word_seq(
+                        self.lang_model, m.get("word_seq", []), aux_info,
+                        self.n_poses, self.remove_word_timing,
+                        sample_end_time)
+                out["text"] = text
+        if "text" in want and self.lang_model is None:
+            out["text"] = np.zeros((n, self.n_poses), dtype=np.int32)
+        return out
 
 
 class TedSpeechMotionDataset(SpeechMotionDataset):

@@ -19,7 +19,7 @@ from pathlib import Path
 
 import numpy as np
 
-from .codec import decode_record, encode_record
+from .codec import decode_json_fields, decode_record, encode_record
 
 
 def _load_native():
@@ -137,6 +137,13 @@ class GestureStore:
     def __getitem__(self, idx: int) -> dict:
         lo, hi = int(self.offsets[idx]), int(self.offsets[idx + 1])
         return decode_record(self._view[lo:hi])
+
+    def json_fields(self, idx: int) -> dict:
+        """Only the json-kind fields (aux_info, word_seq) of record `idx`
+        — skips ndarray payloads entirely; pairs with `batch_field` for
+        the fast batch-assembly path."""
+        lo, hi = int(self.offsets[idx]), int(self.offsets[idx + 1])
+        return decode_json_fields(self._view[lo:hi])
 
     def batch_field(self, indices, name: str, n_threads: int = 0
                     ) -> np.ndarray:

@@ -117,11 +117,13 @@ class SyntheticGestureDataset:
         }
 
     def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0,
-                drop_last: bool = True, rows: slice | None = None):
+                drop_last: bool = True, rows: slice | None = None,
+                fields=None):
         """`rows` restricts each batch to that slice of its index window
         (multi-host: every process computes the same seeded permutation
         but assembles only its `process_batch_slice` rows, so no host
-        materialises the global batch)."""
+        materialises the global batch). `fields` restricts which keys are
+        collated (see make_batch)."""
         if rows is not None and not drop_last:
             # a short tail window would slice to ragged/empty per-process
             # batches and desync make_array_from_process_local_data
@@ -142,16 +144,17 @@ class SyntheticGestureDataset:
             window = order[i : i + batch_size]
             if rows is not None:
                 window = window[rows]
-            yield make_batch([self[j] for j in window])
+            yield make_batch([self[j] for j in window], fields)
 
 
-def make_batch(samples):
+BATCH_FIELDS = ("audio", "spectrogram", "pose_seq", "eid_label", "text")
+
+
+def make_batch(samples, fields=None):
     """Collate samples into stacked numpy arrays
-    (audio_classifier_collate_fn / default_collate_fn equivalents)."""
-    return {
-        "audio": np.stack([s["audio"] for s in samples]),
-        "spectrogram": np.stack([s["spectrogram"] for s in samples]),
-        "pose_seq": np.stack([s["pose_seq"] for s in samples]),
-        "eid_label": np.stack([s["eid_label"] for s in samples]),
-        "text": np.stack([s["text"] for s in samples]),
-    }
+    (audio_classifier_collate_fn / default_collate_fn equivalents).
+    `fields` restricts which keys are stacked — consumers that drop keys
+    anyway (the GAN trainer never reads raw audio, the FGD trainer only
+    pose_seq) skip the collate copy for them entirely."""
+    return {k: np.stack([s[k] for s in samples])
+            for k in (BATCH_FIELDS if fields is None else fields)}

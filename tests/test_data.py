@@ -392,3 +392,152 @@ def test_preprocessor_nan_guard_discards_cache(tmp_path):
     with pytest.raises(ValueError, match="missing joints"):
         pp.run()
     assert not out_dir.exists()
+
+
+# ---------------------------------------------------------------------------
+# Native batch-assembly fast path (round 4): batches() gathers the array
+# fields through the C++ codec and decodes only the json metadata per
+# record — output must be value-identical to the per-record
+# __getitem__ + make_batch path, and any layout surprise must fall back
+# to that path rather than change results.
+# ---------------------------------------------------------------------------
+
+
+def _write_beat_store(path, n=10, audio_len=64000, rng=None):
+    rng = rng or np.random.RandomState(0)
+    with GestureStoreWriter(path) as w:
+        for i in range(n):
+            length = audio_len if not callable(audio_len) else audio_len(i)
+            w.append({
+                "word_seq": [[f"w{j}", 0.3 * j, 0.3 * j + 0.2]
+                             for j in range(3 + i % 3)],
+                "pose_seq": rng.randn(60, 282).astype(np.float32),
+                "audio": rng.randn(length).astype(np.float32),
+                "spectrogram": rng.randn(128, 128).astype(np.float16),
+                "aux_info": {"eid": f"1_wayne_0_{65 + i % 30}_{65 + i % 30}",
+                             "start_time": 0.0, "end_time": 4.0},
+            })
+
+
+def _speech_dataset(path):
+    from emotiongestures_tpu.data.dataset import SpeechMotionDataset
+
+    ds = SpeechMotionDataset(path, use_cache_suffix=False)
+    lang = Vocab("words")
+    for j in range(8):
+        lang.index_word(f"w{j}")
+    ds.set_lang_model(lang)
+    return ds
+
+
+def test_decode_json_fields_matches_full_decode(rng):
+    from emotiongestures_tpu.data.codec import decode_json_fields
+
+    rec = {
+        "pose_seq": rng.randn(60, 282).astype(np.float32),
+        "scalar": np.array(3.5, dtype=np.float32),  # 0-dim ndarray skip
+        "word_seq": [["hello", 0.1, 0.4], ["world", 0.5, 0.9]],
+        "aux_info": {"eid": "1_wayne_0_66_66", "start_time": 0.0},
+    }
+    buf = encode_record(rec)
+    meta = decode_json_fields(buf)
+    full = decode_record(buf)
+    assert set(meta) == {"word_seq", "aux_info"}
+    assert meta["word_seq"] == full["word_seq"]
+    assert meta["aux_info"] == full["aux_info"]
+
+
+def test_store_json_fields(tmp_path, rng):
+    _write_beat_store(tmp_path / "s", n=3, rng=rng)
+    store = GestureStore(tmp_path / "s")
+    for i in range(3):
+        assert store.json_fields(i)["aux_info"] == store[i]["aux_info"]
+    store.close()
+
+
+def test_batches_native_matches_slow_path(tmp_path, rng):
+    _write_beat_store(tmp_path / "s", n=10, rng=rng)
+    ds = _speech_dataset(tmp_path / "s")
+    if not ds.store.native_available:
+        import pytest as _pytest
+
+        _pytest.skip("native codec not built")
+    fast = list(ds.batches(4, shuffle=True, seed=2, native=True))
+    slow = list(ds.batches(4, shuffle=True, seed=2, native=False))
+    assert len(fast) == len(slow) == 2
+    assert ds._fast_probe() is not None  # fast path actually engaged
+    for bf, bs in zip(fast, slow):
+        assert set(bf) == set(bs)
+        for k in bs:
+            assert bf[k].dtype == bs[k].dtype, k
+            np.testing.assert_array_equal(bf[k], bs[k], err_msg=k)
+
+
+def test_batches_native_no_lang_model(tmp_path, rng):
+    from emotiongestures_tpu.data.dataset import SpeechMotionDataset
+
+    _write_beat_store(tmp_path / "s", n=8, rng=rng)
+    ds = SpeechMotionDataset(tmp_path / "s", use_cache_suffix=False)
+    fast = next(ds.batches(4, shuffle=False, native=True))
+    slow = next(ds.batches(4, shuffle=False, native=False))
+    for k in slow:
+        assert fast[k].dtype == slow[k].dtype, k
+        np.testing.assert_array_equal(fast[k], slow[k], err_msg=k)
+    np.testing.assert_array_equal(fast["text"], 0)
+
+
+def test_batches_fields_restricts_keys(tmp_path, rng):
+    _write_beat_store(tmp_path / "s", n=8, rng=rng)
+    ds = _speech_dataset(tmp_path / "s")
+    keys = ("spectrogram", "text", "pose_seq", "eid_label")
+    for native in (True, False):
+        b = next(ds.batches(4, shuffle=False, fields=keys, native=native))
+        assert set(b) == set(keys)
+    b = next(ds.batches(4, shuffle=False, fields=("pose_seq",)))
+    assert set(b) == {"pose_seq"}
+    # synthetic dataset honors fields too
+    sds = SyntheticGestureDataset(n_samples=8)
+    b = next(sds.batches(4, shuffle=False, fields=keys))
+    assert set(b) == set(keys)
+
+
+def test_batches_native_ragged_store_falls_back(tmp_path, rng):
+    """A record whose audio is short (the make_audio_fixed_length case,
+    lmdb_loader_BEAT_full.py:239) rules the native gather out — output
+    must come from the exact per-record path, identically."""
+    _write_beat_store(tmp_path / "s", n=8, rng=rng,
+                      audio_len=lambda i: 63000 if i == 5 else 64000)
+    ds = _speech_dataset(tmp_path / "s")
+    # probe sees record 0 (uniform) but record 5 breaks the gather
+    fast = list(ds.batches(4, shuffle=False, native=True))
+    slow = list(ds.batches(4, shuffle=False, native=False))
+    for bf, bs in zip(fast, slow):
+        for k in bs:
+            np.testing.assert_array_equal(bf[k], bs[k], err_msg=k)
+    # short audio at record 0 disables the probe entirely
+    _write_beat_store(tmp_path / "s2", n=4, rng=rng, audio_len=63000)
+    ds2 = _speech_dataset(tmp_path / "s2")
+    assert ds2._fast_probe() is None
+    b = next(ds2.batches(2, shuffle=False))
+    assert b["audio"].shape == (2, ds2.expected_audio_length)
+
+
+def test_batches_subclass_getitem_stays_exact(tmp_path, rng):
+    """A subclass overriding __getitem__ (the TED datasets) must never
+    take the fast path — its sample logic differs from the gather."""
+    from emotiongestures_tpu.data.dataset import SpeechMotionDataset
+
+    _write_beat_store(tmp_path / "s", n=8, rng=rng)
+
+    class Shifted(SpeechMotionDataset):
+        def __getitem__(self, idx):
+            s = super().__getitem__(idx)
+            s["pose_seq"] = s["pose_seq"] + 1.0
+            return s
+
+    ds = Shifted(tmp_path / "s", use_cache_suffix=False)
+    base = _speech_dataset(tmp_path / "s")
+    b = next(ds.batches(4, shuffle=False))
+    b0 = next(base.batches(4, shuffle=False, native=False))
+    np.testing.assert_allclose(b["pose_seq"], b0["pose_seq"] + 1.0,
+                               rtol=1e-6)
