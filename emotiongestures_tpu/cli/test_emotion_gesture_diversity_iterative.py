@@ -452,8 +452,14 @@ def main(args=None):
         raise SystemExit(
             f"test set smaller than --test_batch_size={args.test_batch_size}")
     # batches stream lazily (one resident at a time — BEAT-scale caches
-    # must not be materialised up front; VERDICT r2 item 8)
-    batches = test_dataset.batches(args.test_batch_size, shuffle=False)
+    # must not be materialised up front; VERDICT r2 item 8). Raw audio is
+    # only consumed by the beat aligner — with --skip_beat the collator
+    # never assembles it (75% of a BEAT record's bytes).
+    eval_fields = ("spectrogram", "text", "pose_seq", "eid_label")
+    if not args.skip_beat:
+        eval_fields = ("audio",) + eval_fields
+    batches = test_dataset.batches(args.test_batch_size, shuffle=False,
+                                   fields=eval_fields)
     return test_model(args, batches, n_words)
 
 
