@@ -355,14 +355,21 @@ def bench_sol_train(batch=128) -> dict:
                 x = SEBasicBlock(self.planes, train=True, name=f"b{i}")(x)
             return x
 
-    # the 3-stage audio encoder geometry (nn/resnet_se.py docstring)
+    # the 3-stage audio encoder geometry (nn/resnet_se.py docstring).
+    # stage1's input is the stem output of the SPECTROGRAM — the real
+    # train step computes no gradient into it, so its isolated bench
+    # differentiates params only; stages 2/3 receive activations that DO
+    # carry gradient, so they keep the input-dgrad (ADVICE r4)
     stages = [
-        ("stage1 3xblock(32)", _Stage(32, 3, 1, 32), (batch, 128, 124, 32)),
-        ("stage2 4xblock(64)", _Stage(64, 4, 2, 32), (batch, 128, 124, 32)),
-        ("stage3 6xblock(128)", _Stage(128, 6, 2, 64), (batch, 64, 62, 64)),
+        ("stage1 3xblock(32)", _Stage(32, 3, 1, 32), (batch, 128, 124, 32),
+         0),
+        ("stage2 4xblock(64)", _Stage(64, 4, 2, 32), (batch, 128, 124, 32),
+         (0, 1)),
+        ("stage3 6xblock(128)", _Stage(128, 6, 2, 64), (batch, 64, 62, 64),
+         (0, 1)),
     ]
     rows, sol_ms, tot_flops = [], 0.0, 0.0
-    for name, mod, shape in stages:
+    for name, mod, shape, argnums in stages:
         x = jnp.asarray(np.random.RandomState(0).randn(*shape),
                         jnp.bfloat16)
         variables = mod.init(jax.random.PRNGKey(0), x)
@@ -377,7 +384,10 @@ def bench_sol_train(batch=128) -> dict:
                     {"params": p, "batch_stats": bstats}, x,
                     mutable=["batch_stats"])
                 return jnp.sum(out.astype(jnp.float32))
-            l, grads = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+            l, grads = jax.value_and_grad(loss, argnums=argnums)(
+                params, x)
+            if not isinstance(grads, tuple):
+                grads = (grads,)
             # checksum over loss + every grad leaf (nothing cancellable)
             return l + sum(jnp.sum(jnp.abs(g).astype(jnp.float32))
                            for g in jax.tree_util.tree_leaves(grads))

@@ -237,8 +237,10 @@ class SpeechMotionDataset:
         """Shapes that make the native batch path value-identical to
         `__getitem__`: audio already at its fixed length (no pad/trim)
         and a 2-D spectrogram. Probed from record 0 and cached; the
-        native gather itself enforces the same element count on every
-        other record (falls back on mismatch)."""
+        gather enforces the probe's FULL canonical shape on every record
+        of every batch — including each batch's first record — so even a
+        batch whose records all deviate identically from the store
+        layout falls back to the exact path (ADVICE r4)."""
         probe = getattr(self, "_fast_probe_cache", False)
         if probe is not False:
             return probe
@@ -252,7 +254,12 @@ class SpeechMotionDataset:
                     and audio.shape == (self.expected_audio_length,)
                     and isinstance(spec, np.ndarray) and spec.ndim == 2
                     and isinstance(pose, np.ndarray) and pose.ndim >= 2):
-                probe = {"n_frames": pose.shape[0]}
+                probe = {
+                    "n_frames": pose.shape[0],
+                    "audio_shape": (self.expected_audio_length,),
+                    "spec_shape": spec.shape,
+                    "pose_shape": pose.shape,
+                }
         self._fast_probe_cache = probe
         return probe
 
@@ -263,18 +270,21 @@ class SpeechMotionDataset:
         to the exact path)."""
         idx = np.ascontiguousarray(window, dtype=np.int64)
         n = len(idx)
-        n_frames = self._fast_probe()["n_frames"]
+        probe = self._fast_probe()
+        n_frames = probe["n_frames"]
         out = {}
         try:
             if "audio" in want:
-                out["audio"] = self.store.batch_field(idx, "audio")
+                out["audio"] = self.store.batch_field(
+                    idx, "audio", expected_shape=probe["audio_shape"])
             if "spectrogram" in want:
                 out["spectrogram"] = self.store.batch_field(
-                    idx, "spectrogram"
+                    idx, "spectrogram", expected_shape=probe["spec_shape"]
                 )[:, :, : self.expected_spectrogram_length]
             if "pose_seq" in want:
                 out["pose_seq"] = self.store.batch_field(
-                    idx, "pose_seq").reshape(n, n_frames, -1)
+                    idx, "pose_seq", expected_shape=probe["pose_shape"]
+                ).reshape(n, n_frames, -1)
         except ValueError:
             return None
         need_text = "text" in want and self.lang_model is not None

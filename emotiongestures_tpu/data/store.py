@@ -50,6 +50,13 @@ def _load_native():
         ctypes.c_int64, ctypes.c_char_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int,
     ]
+    if hasattr(lib, "egtp_batch_gather_f32_shaped"):
+        lib.egtp_batch_gather_f32_shaped.restype = ctypes.c_int
+        lib.egtp_batch_gather_f32_shaped.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ]
     lib.egtp_field_shape.restype = ctypes.c_int
     lib.egtp_field_shape.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -145,37 +152,64 @@ class GestureStore:
         lo, hi = int(self.offsets[idx]), int(self.offsets[idx + 1])
         return decode_json_fields(self._view[lo:hi])
 
-    def batch_field(self, indices, name: str, n_threads: int = 0
-                    ) -> np.ndarray:
+    def batch_field(self, indices, name: str, n_threads: int = 0,
+                    expected_shape=None) -> np.ndarray:
         """Gather field `name` of many records into one (n, *shape) f32
         array — the host hot path. Uses the multithreaded C++ decoder
-        when built, pure-python otherwise."""
+        when built, pure-python otherwise.
+
+        `expected_shape` pins the canonical per-record shape (e.g. the
+        dataset probe's record-0 layout): EVERY record — including the
+        batch's first — must match it exactly or ValueError is raised,
+        so a shuffled batch whose records all deviate identically (two
+        tail windows with the same short audio, say) cannot be returned
+        silently un-fixed-up (ADVICE r4). Without it the batch's first
+        record defines the shape, as before."""
         import ctypes
 
         indices = np.ascontiguousarray(indices, dtype=np.int64)
         n = len(indices)
         if n == 0:
             raise ValueError("empty index list")
-        first = self[int(indices[0])][name]
-        shape = first.shape
+        if expected_shape is None:
+            shape = tuple(self[int(indices[0])][name].shape)
+        else:
+            shape = tuple(int(s) for s in expected_shape)
         elem_count = int(np.prod(shape))
         out = np.empty((n,) + shape, dtype=np.float32)
         if _NATIVE is not None and len(self._view) > 0:
             # zero-copy address of the (read-only) mmap via numpy
             base = np.frombuffer(self._mmap, dtype=np.uint8)
-            rc = _NATIVE.egtp_batch_gather_f32(
-                base.ctypes.data,
-                self.offsets.ctypes.data_as(ctypes.c_void_p),
-                indices.ctypes.data_as(ctypes.c_void_p),
-                n, name.encode(),
-                out.ctypes.data_as(ctypes.c_void_p),
-                elem_count, n_threads)
+            if (expected_shape is not None
+                    and hasattr(_NATIVE, "egtp_batch_gather_f32_shaped")):
+                cshape = np.asarray(shape, dtype=np.int64)
+                rc = _NATIVE.egtp_batch_gather_f32_shaped(
+                    base.ctypes.data,
+                    self.offsets.ctypes.data_as(ctypes.c_void_p),
+                    indices.ctypes.data_as(ctypes.c_void_p),
+                    n, name.encode(),
+                    out.ctypes.data_as(ctypes.c_void_p),
+                    cshape.ctypes.data_as(ctypes.c_void_p),
+                    len(shape), n_threads)
+            else:
+                rc = _NATIVE.egtp_batch_gather_f32(
+                    base.ctypes.data,
+                    self.offsets.ctypes.data_as(ctypes.c_void_p),
+                    indices.ctypes.data_as(ctypes.c_void_p),
+                    n, name.encode(),
+                    out.ctypes.data_as(ctypes.c_void_p),
+                    elem_count, n_threads)
             if rc == 0:
                 return out
             raise ValueError(
                 f"native decode failed at batch position {-rc - 1}")
         for i, idx in enumerate(indices):
-            out[i] = np.asarray(self[int(idx)][name], dtype=np.float32)
+            arr = np.asarray(self[int(idx)][name], dtype=np.float32)
+            if arr.shape != shape:
+                raise ValueError(
+                    f"record {int(idx)} field {name!r} shape {arr.shape} "
+                    f"!= expected {shape}")
+            out[i] = arr
         return out
 
     @property

@@ -176,12 +176,17 @@ int egtp_field_shape(const uint8_t* data, const int64_t* offsets,
 }
 
 // Decode field `name` of records `indices[0..n)` into `out`
-// (n * elem_count float32, C-contiguous), multithreaded.
+// (n * elem_count float32, C-contiguous), multithreaded. When
+// `shape`/`ndim` are given (shape non-null, ndim > 0) every record's
+// full field shape must equal it — not just the element count — so a
+// batch of records that all deviate identically from the canonical
+// store layout still fails over to the exact python path.
 // Returns 0 on success; -(i+1) if record indices[i] failed.
-int egtp_batch_gather_f32(const uint8_t* data, const int64_t* offsets,
-                          const int64_t* indices, int64_t n,
-                          const char* name, float* out,
-                          int64_t elem_count, int n_threads) {
+static int gather_impl(const uint8_t* data, const int64_t* offsets,
+                       const int64_t* indices, int64_t n,
+                       const char* name, float* out,
+                       int64_t elem_count, const int64_t* shape, int ndim,
+                       int n_threads) {
   if (n_threads <= 0) {
     n_threads = (int)std::thread::hardware_concurrency();
     if (n_threads <= 0) n_threads = 1;
@@ -195,8 +200,12 @@ int egtp_batch_gather_f32(const uint8_t* data, const int64_t* offsets,
       const uint8_t* buf = data + offsets[idx];
       int64_t len = offsets[idx + 1] - offsets[idx];
       Field f;
-      if (!find_field(buf, len, name, &f) ||
-          !convert_to_f32(f, out + i * elem_count, elem_count)) {
+      bool ok = find_field(buf, len, name, &f);
+      if (ok && shape != nullptr && ndim > 0) {
+        ok = (f.ndim == ndim);
+        for (int d = 0; ok && d < ndim; ++d) ok = (f.shape[d] == shape[d]);
+      }
+      if (!ok || !convert_to_f32(f, out + i * elem_count, elem_count)) {
         errors[tid] = i;
         return;
       }
@@ -211,6 +220,26 @@ int egtp_batch_gather_f32(const uint8_t* data, const int64_t* offsets,
   for (int t = 0; t < n_threads; ++t)
     if (errors[t] >= 0) return -(int)(errors[t] + 1);
   return 0;
+}
+
+int egtp_batch_gather_f32(const uint8_t* data, const int64_t* offsets,
+                          const int64_t* indices, int64_t n,
+                          const char* name, float* out,
+                          int64_t elem_count, int n_threads) {
+  return gather_impl(data, offsets, indices, n, name, out, elem_count,
+                     nullptr, 0, n_threads);
+}
+
+int egtp_batch_gather_f32_shaped(const uint8_t* data,
+                                 const int64_t* offsets,
+                                 const int64_t* indices, int64_t n,
+                                 const char* name, float* out,
+                                 const int64_t* shape, int ndim,
+                                 int n_threads) {
+  int64_t elem_count = 1;
+  for (int d = 0; d < ndim; ++d) elem_count *= shape[d];
+  return gather_impl(data, offsets, indices, n, name, out, elem_count,
+                     shape, ndim, n_threads);
 }
 
 }  // extern "C"

@@ -110,13 +110,22 @@ class PlateauDetector:
         self.window = window
         self.attempts = 0
         self._steps = 0
+        self._converged = False
         self._recent: deque[float] = deque(maxlen=window)
 
     def update(self, acc: float) -> bool:
-        """Record one step's training accuracy; True => reseed now."""
+        """Record one step's training accuracy; True => reseed now.
+        Once the trailing mean has ever reached `acc_target` the detector
+        latches converged and never reseeds again (ADVICE r4) — a later
+        window-length dip (hard minibatches, LR steps) must not discard
+        a converged model mid-run; the lottery's plateau is a run that
+        NEVER reaches the target, not one that wobbles after."""
+        if self._converged:
+            return False
         self._steps += 1
         self._recent.append(acc)
         if (sum(self._recent) / len(self._recent)) >= self.acc_target:
+            self._converged = True
             return False
         if self._steps >= self.patience and self.attempts < self.max_reseeds:
             self.attempts += 1

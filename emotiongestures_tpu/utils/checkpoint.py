@@ -21,54 +21,103 @@ import orbax.checkpoint as ocp
 _HELD_LOCKS: set = set()
 
 
+def _proc_start_token(pid: int) -> str | None:
+    """Kernel start-time of `pid` (clock ticks since boot, field 22 of
+    /proc/<pid>/stat) — distinguishes a recycled pid from the original
+    holder process. None when unreadable (non-linux, process gone)."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read().decode("ascii", "replace")
+        # comm (field 2) may contain spaces/parens; split after its ")"
+        return stat.rsplit(")", 1)[1].split()[19]
+    except (OSError, IndexError):
+        return None
+
+
+def _parse_lock(content: bytes) -> tuple[int, str]:
+    """Lock file layout: b"<pid>" (legacy) or b"<pid>:<start_token>"."""
+    text = content.decode(errors="replace").strip()
+    pid_s, _, token = text.partition(":")
+    try:
+        return int(pid_s or "0"), token
+    except ValueError:
+        return 0, ""
+
+
+def _holder_alive(pid: int, token: str) -> bool:
+    import os
+
+    if pid <= 0 or pid == os.getpid():
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        pass  # exists, owned by someone else
+    if token:
+        now = _proc_start_token(pid)
+        if now is not None and now != token:
+            return False  # pid recycled since the lock was written
+    return True
+
+
 def _acquire_writer_lock(directory: Path) -> None:
     """One writer process per checkpoint directory. Two trainers sharing
     a directory silently destroy each other's work through max_to_keep
     pruning — the round-4 flagship rehearsal lost its only
     iteration-3200 skeleton checkpoint to exactly this (a second run's
     prune deleted the first run's save). The lock file holds the writer
-    pid; a stale lock (dead pid, e.g. after a crash or preemption kill)
-    is reclaimed silently, so resume-after-kill is unaffected.
-    Best-effort and per-host: multi-host runs save from the primary
-    process only, so cross-host pid collisions cannot occur on the
-    happy path."""
+    pid plus its /proc start-time token (so a recycled pid cannot make a
+    dead trainer look live and block a legitimate resume-after-crash);
+    a stale lock is reclaimed silently, and the reclaim is read back to
+    verify THIS process won it before proceeding (two racing reclaimers
+    would otherwise both become writers — ADVICE r4). Best-effort and
+    per-host: multi-host runs save from the primary process only, so
+    cross-host pid collisions cannot occur on the happy path."""
     import atexit
     import os
 
     directory = Path(directory)
     lock = directory / ".egtp_writer.lock"
-    me = str(os.getpid()).encode()
+    token = _proc_start_token(os.getpid())
+    me = (f"{os.getpid()}:{token}" if token else str(os.getpid())).encode()
     if directory in _HELD_LOCKS:
         if not lock.exists():  # dir was rmtree'd (e.g. plateau reseed)
             lock.write_bytes(me)
         return
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-        with os.fdopen(fd, "wb") as f:
-            f.write(me)
-    except FileExistsError:
+    for _ in range(8):
         try:
-            holder = int(lock.read_bytes().decode().strip() or "0")
-        except (ValueError, OSError):
-            holder = 0
-        alive = False
-        if holder > 0 and holder != os.getpid():
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            with os.fdopen(fd, "wb") as f:
+                f.write(me)
+            break
+        except FileExistsError:
             try:
-                os.kill(holder, 0)
-                alive = True
-            except (ProcessLookupError, PermissionError):
-                alive = False
-        if alive:
-            raise RuntimeError(
-                f"checkpoint directory {directory} is being written by "
-                f"another live trainer (pid {holder}); concurrent writers "
-                f"prune each other's checkpoints (max_to_keep) — point "
-                f"the second run at its own --model_save_path, or remove "
-                f"{lock} if the holder is not a trainer")
-        # stale (crashed writer) — reclaim atomically
-        tmp = lock.with_suffix(".lock.tmp")
-        tmp.write_bytes(me)
-        os.replace(tmp, lock)
+                holder, h_token = _parse_lock(lock.read_bytes())
+            except OSError:
+                continue  # lock vanished mid-read; retry acquisition
+            if _holder_alive(holder, h_token):
+                raise RuntimeError(
+                    f"checkpoint directory {directory} is being written by "
+                    f"another live trainer (pid {holder}); concurrent "
+                    f"writers prune each other's checkpoints (max_to_keep) "
+                    f"— point the second run at its own --model_save_path, "
+                    f"or remove {lock} if the holder is not a trainer")
+            # stale (crashed writer) — reclaim, then VERIFY we won: a
+            # concurrent reclaimer's os.replace may have landed after ours
+            tmp = directory / f".egtp_writer.lock.tmp-{os.getpid()}"
+            tmp.write_bytes(me)
+            os.replace(tmp, lock)
+            try:
+                if lock.read_bytes() == me:
+                    break
+            except OSError:
+                pass  # lost the race; loop re-checks the winner
+    else:
+        raise RuntimeError(
+            f"could not acquire checkpoint writer lock {lock} after "
+            f"repeated reclaim races — another trainer is contending")
     _HELD_LOCKS.add(directory)
     atexit.register(_release_writer_lock, directory)
 
@@ -82,9 +131,9 @@ def _release_writer_lock(directory: Path) -> None:
     _HELD_LOCKS.discard(directory)
     lock = directory / ".egtp_writer.lock"
     try:
-        if int(lock.read_bytes().decode().strip() or "0") == os.getpid():
+        if _parse_lock(lock.read_bytes())[0] == os.getpid():
             lock.unlink()
-    except (OSError, ValueError):
+    except OSError:
         pass
 
 

@@ -78,6 +78,26 @@ def test_eval_cli_flag_surface():
     _check(eval_parser(), EVAL_FLAGS, PATH_FLAGS_EVAL)
 
 
+def test_freeze_wordembed_parses_false_correctly():
+    """VERDICT r4 item 9: the reference's `type=bool` makes
+    `--freeze_wordembed False` parse as True (non-empty string). Ours
+    keeps the flag name and default but parses boolean strings."""
+    import pytest
+
+    p = eval_parser()
+    assert p.parse_args([]).freeze_wordembed is False
+    assert p.parse_args(
+        ["--freeze_wordembed", "False"]).freeze_wordembed is False
+    assert p.parse_args(
+        ["--freeze_wordembed", "false"]).freeze_wordembed is False
+    assert p.parse_args(
+        ["--freeze_wordembed", "True"]).freeze_wordembed is True
+    assert p.parse_args(
+        ["--freeze_wordembed", "1"]).freeze_wordembed is True
+    with pytest.raises(SystemExit):
+        p.parse_args(["--freeze_wordembed", "maybe"])
+
+
 def test_flags_accept_reference_style_invocations():
     args = eval_parser().parse_args([
         "--motion_resampling_framerate", "15", "--n_poses", "60",

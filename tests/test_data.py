@@ -522,6 +522,26 @@ def test_batches_native_ragged_store_falls_back(tmp_path, rng):
     assert b["audio"].shape == (2, ds2.expected_audio_length)
 
 
+def test_batches_native_all_deviant_batch_falls_back(tmp_path, rng):
+    """ADVICE r4: a batch whose records ALL deviate identically from the
+    canonical store layout (e.g. two tail windows with the same short
+    audio) must NOT be returned silently un-padded — the gather enforces
+    the probe's record-0 shapes on every record of every batch."""
+    _write_beat_store(tmp_path / "s", n=8, rng=rng,
+                      audio_len=lambda i: 63000 if i >= 4 else 64000)
+    ds = _speech_dataset(tmp_path / "s")
+    assert ds._fast_probe() is not None  # record 0 is canonical
+    fast = list(ds.batches(4, shuffle=False, native=True))
+    slow = list(ds.batches(4, shuffle=False, native=False))
+    # second batch is records 4-7, all identically short: old code derived
+    # the shape from the BATCH's first record and returned 63000-wide
+    # un-padded audio; it must instead match the exact path (padded).
+    assert fast[1]["audio"].shape == (4, ds.expected_audio_length)
+    for bf, bs in zip(fast, slow):
+        for k in bs:
+            np.testing.assert_array_equal(bf[k], bs[k], err_msg=k)
+
+
 def test_batches_subclass_getitem_stays_exact(tmp_path, rng):
     """A subclass overriding __getitem__ (the TED datasets) must never
     take the fast path — its sample logic differs from the gather."""

@@ -210,6 +210,16 @@ def test_plateau_detector():
     accs = [22.0, 25.0, 31.2, 24.0, 26.5, 23.4, 33.6, 25.0, 24.2, 26.0]
     assert any(det4.update(a) for a in accs)
 
+    # ADVICE r4: once converged, a later window-length dip below the
+    # target must NEVER reseed — the converged flag latches for good
+    det5 = skeleton.PlateauDetector(patience=3, acc_target=40.0,
+                                    max_reseeds=8, window=2)
+    for _ in range(4):
+        assert not det5.update(90.0)  # converges (trailing mean 90)
+    for _ in range(50):
+        assert not det5.update(10.0)  # deep dip, far past patience
+    assert det5.attempts == 0
+
 
 def test_classifier_bf16_compute_step(batch):
     """Classifier mixed precision mirrors the GAN policy: fp32 masters,

@@ -93,8 +93,11 @@ def test_writer_lock_rejects_live_foreign_writer(tmp_path):
     assert path.exists()
     import os
 
-    assert (stale / ".egtp_writer.lock").read_bytes() == str(
-        os.getpid()).encode()
+    # reclaimed lock records pid + /proc start-time token (ADVICE r4)
+    pid_s, _, token = (
+        (stale / ".egtp_writer.lock").read_bytes().decode().partition(":"))
+    assert int(pid_s) == os.getpid()
+    assert token == ckpt._proc_start_token(os.getpid())
     # same process re-saves freely (lock is re-entrant per process)
     save_checkpoint(state, stale, step=7)
     assert latest_step(stale) == 7
@@ -102,6 +105,18 @@ def test_writer_lock_rejects_live_foreign_writer(tmp_path):
     assert not (stale / ".egtp_writer.lock").exists()
     ckpt._release_writer_lock(live.absolute())  # no-op: never acquired
     assert (live / ".egtp_writer.lock").exists()
+
+    # pid recycling (ADVICE r4): a lock whose pid is alive but whose
+    # start-time token belongs to a DIFFERENT (dead) incarnation is
+    # stale — resume-after-crash must not be blocked by pid reuse
+    recycled = tmp_path / "recycled"
+    recycled.mkdir()
+    (recycled / ".egtp_writer.lock").write_bytes(b"1:999999999")  # pid 1
+    # is alive, but its real start token is ~0-ish, never 999999999
+    assert ckpt._proc_start_token(1) != "999999999"
+    path = save_checkpoint(state, recycled)
+    assert path.exists()
+    ckpt._release_writer_lock(recycled.absolute())
 
 
 def test_async_saver_surfaces_worker_errors(tmp_path):
