@@ -46,6 +46,18 @@ def build_parser() -> argparse.ArgumentParser:
     clips.add_argument("--lmdb", required=True)
     clips.add_argument("--out", required=True)
 
+    syn = sub.add_parser(
+        "synthetic",
+        help="materialise the synthetic set into a BEAT-shaped "
+             "GestureStore (rehearsal data for store-fed training)")
+    syn.add_argument("--out", required=True,
+                     help="output GestureStore directory (pass the "
+                          "trainer `--train_data_path <out minus "
+                          "_cache>` or point at it with "
+                          "use_cache_suffix semantics)")
+    syn.add_argument("--n", type=int, default=1024)
+    syn.add_argument("--seed", type=int, default=0)
+
     wv = sub.add_parser(
         "wordvec",
         help="fasttext .vec / GloVe .txt -> vocab-aligned .npy")
@@ -74,6 +86,13 @@ def main(args=None):
         convert_clip_lmdb(args.lmdb, args.out)
         n = len(GestureStore(args.out))
         print(f"converted {n} clip records -> {args.out}")
+        return n
+    if args.command == "synthetic":
+        from ..data.synthetic import materialize_store
+
+        n = materialize_store(args.out, args.n, seed=args.seed,
+                              log_every=max(args.n // 10, 1))
+        print(f"materialized {n} synthetic records -> {args.out}")
         return n
     if args.command == "wordvec":
         import numpy as np

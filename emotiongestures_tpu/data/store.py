@@ -228,50 +228,81 @@ class GestureStore:
         self._file.close()
 
 
-def convert_lmdb_cache(lmdb_dir: str, out_dir: str):
-    """Converter from the reference's pyarrow-0.14 LMDB caches. Requires
-    `lmdb` and a pyarrow version still exposing `deserialize` (0.14-0.16);
-    run once offline, after which only GestureStore is needed."""
-    import lmdb  # noqa: F401 — optional dep, gated
-    import pyarrow  # noqa: F401
+def _iter_lmdb(lmdb_dir: str):
+    """(key, value) pairs from a reference LMDB env, in key order.
+    Primary path is the pure-python parser (data/lmdb_reader.py — no
+    `lmdb` package needed); if the `lmdb` package IS installed it is
+    preferred as the battle-tested implementation of the same format."""
+    try:
+        import lmdb  # noqa: F401 — optional
+    except ImportError:
+        from .lmdb_reader import iter_entries
 
-    env = lmdb.open(lmdb_dir, readonly=True, lock=False)
-    with env.begin() as txn, GestureStoreWriter(out_dir) as writer:
-        n = txn.stat()["entries"]
-        for idx in range(n):
-            key = f"{idx:010}".encode("ascii")
-            sample = pyarrow.deserialize(txn.get(key))
-            if len(sample) == 5:  # BEAT layout (lmdb_loader_BEAT_full)
-                word_seq, pose_seq, audio, spectrogram, aux_info = sample
-                vec_seq = None
-            else:  # TED layout w/ dir-vecs (lmdb_data_loader*)
-                word_seq, pose_seq, vec_seq, audio, spectrogram, \
-                    aux_info = sample
-            record = {
-                "word_seq": [list(w) for w in word_seq],
-                "pose_seq": np.asarray(pose_seq),
-                "audio": np.asarray(audio),
-                "spectrogram": np.asarray(spectrogram),
-                "aux_info": dict(aux_info),
-            }
-            if vec_seq is not None:
-                record["vec_seq"] = np.asarray(vec_seq)
-            writer.append(record)
-    env.close()
+        yield from iter_entries(lmdb_dir)
+        return
+    env = lmdb.open(str(lmdb_dir), readonly=True, lock=False)
+    try:
+        with env.begin() as txn:
+            cursor = txn.cursor()
+            for key, value in cursor:
+                yield bytes(key), bytes(value)
+    finally:
+        env.close()
+
+
+def window_record_from_serialized(buf) -> dict:
+    """One pyarrow-0.14-serialized cache value -> GestureStore record.
+    Decodes with the self-owned wire-format reader (data/arrow014.py —
+    no pyarrow needed) and maps both reference layouts:
+      BEAT 5-tuple (word_seq, pose_seq, audio, spectrogram, aux_info) —
+        lmdb_loader_BEAT_full.py:171-180
+      TED 6-tuple with vec_seq inserted third — lmdb_data_loader.py:104-113
+    """
+    from .arrow014 import deserialize
+
+    sample = deserialize(buf)
+    if len(sample) == 5:  # BEAT layout (lmdb_loader_BEAT_full)
+        word_seq, pose_seq, audio, spectrogram, aux_info = sample
+        vec_seq = None
+    elif len(sample) == 6:  # TED layout w/ dir-vecs (lmdb_data_loader*)
+        word_seq, pose_seq, vec_seq, audio, spectrogram, aux_info = sample
+    else:
+        raise ValueError(
+            f"unrecognized cache record layout ({len(sample)} fields)")
+    record = {
+        "word_seq": [list(w) for w in word_seq],
+        "pose_seq": np.asarray(pose_seq),
+        "audio": np.asarray(audio),
+        "spectrogram": np.asarray(spectrogram),
+        "aux_info": dict(aux_info),
+    }
+    if vec_seq is not None:
+        record["vec_seq"] = np.asarray(vec_seq)
+    return record
+
+
+def convert_lmdb_cache(lmdb_dir: str, out_dir: str):
+    """Converter from the reference's pyarrow-0.14 LMDB caches. The
+    record payloads are decoded by the self-owned format reader
+    (data/arrow014.py), so NO pyarrow is needed; the LMDB container is
+    read via the pure-python reader (data/lmdb_reader.py) with the
+    `lmdb` package as an optional fallback. Run once offline, after
+    which only GestureStore is needed."""
+    with GestureStoreWriter(out_dir) as writer:
+        for _, value in _iter_lmdb(lmdb_dir):
+            writer.append(window_record_from_serialized(value))
 
 
 def convert_clip_lmdb(lmdb_dir: str, out_dir: str):
     """Converter for the reference's RAW clip LMDBs (one video with nested
     clips per record, data_preprocessor.py:44-75) into the flat
-    one-record-per-clip store that preprocessing.DataPreprocessor reads."""
-    import lmdb  # noqa: F401 — optional dep, gated
-    import pyarrow  # noqa: F401
+    one-record-per-clip store that preprocessing.DataPreprocessor reads.
+    Self-owned LMDB + pyarrow-0.14 readers — no legacy deps needed."""
+    from .arrow014 import deserialize
 
-    env = lmdb.open(lmdb_dir, readonly=True, lock=False)
-    with env.begin() as txn, GestureStoreWriter(out_dir) as writer:
-        cursor = txn.cursor()
-        for _, value in cursor:
-            video = pyarrow.deserialize(value)
+    with GestureStoreWriter(out_dir) as writer:
+        for _, value in _iter_lmdb(lmdb_dir):
+            video = deserialize(value)
             vid = video["vid"]
             for clip in video["clips"]:
                 writer.append({
@@ -288,4 +319,3 @@ def convert_clip_lmdb(lmdb_dir: str, out_dir: str):
                         "end_time": float(clip["end_time"]),
                     },
                 })
-    env.close()
