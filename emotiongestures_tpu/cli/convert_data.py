@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                           "use_cache_suffix semantics)")
     syn.add_argument("--n", type=int, default=1024)
     syn.add_argument("--seed", type=int, default=0)
+    syn.add_argument("--class_overlap", type=float, default=0.0,
+                     help="postural class-overlap knob "
+                          "(data/synthetic.py)")
 
     wv = sub.add_parser(
         "wordvec",
@@ -91,7 +94,8 @@ def main(args=None):
         from ..data.synthetic import materialize_store
 
         n = materialize_store(args.out, args.n, seed=args.seed,
-                              log_every=max(args.n // 10, 1))
+                              log_every=max(args.n // 10, 1),
+                              class_overlap=args.class_overlap)
         print(f"materialized {n} synthetic records -> {args.out}")
         return n
     if args.command == "wordvec":

@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     # framework extras
     parser.add_argument("--synthetic", type=int, default=0,
                         help="use N synthetic samples instead of data caches")
+    parser.add_argument("--class_overlap", type=float, default=0.0,
+                        help="synthetic-set class-overlap knob "
+                             "(data/synthetic.py)")
     parser.add_argument("--max_folds", type=int, default=None)
     parser.add_argument("--eval_every", type=int, default=100)
     parser.add_argument("--seed", type=int, default=0)
@@ -114,11 +117,13 @@ def main(args=None):
     logging.info(pprint.pformat(vars(args)))
 
     if args.synthetic:
+        overlap = getattr(args, "class_overlap", 0.0)
         full = SyntheticGestureDataset(n_samples=args.synthetic,
-                                       seed=args.seed)
+                                       seed=args.seed,
+                                       class_overlap=overlap)
         test = SyntheticGestureDataset(
             n_samples=max(args.batch_size, args.synthetic // 4),
-            seed=args.seed + 1)
+            seed=args.seed + 1, class_overlap=overlap)
     else:
         from ..data.dataset import SpeechMotionDataset
 

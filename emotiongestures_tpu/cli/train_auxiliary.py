@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                         default="./data/beat_trainable_dataset/train/")
     parser.add_argument("--input_context", type=str, default="text")
     parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--class_overlap", type=float, default=0.0,
+                        help="synthetic-set class-overlap knob "
+                             "(data/synthetic.py; keeps Emotion-Acc a "
+                             "graded metric)")
     parser.add_argument("--save_every", type=int, default=100)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--num_devices", type=int, default=0,
@@ -175,8 +179,9 @@ def main(args=None):
     if args.synthetic:
         from ..data.synthetic import SyntheticGestureDataset
 
-        dataset = SyntheticGestureDataset(n_samples=args.synthetic,
-                                          seed=args.seed)
+        dataset = SyntheticGestureDataset(
+            n_samples=args.synthetic, seed=args.seed,
+            class_overlap=getattr(args, "class_overlap", 0.0))
         n_words = 64
     else:
         from ..data.dataset import SpeechMotionDataset

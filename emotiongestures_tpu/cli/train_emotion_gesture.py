@@ -50,6 +50,33 @@ def build_parser() -> argparse.ArgumentParser:
                              "both updates (G adv term sees the pre-update "
                              "D) — see train/gan.py; measured speedup in "
                              "BASELINE.md")
+    from .test_emotion_gesture_diversity_iterative import _str2bool
+
+    parser.add_argument("--d_concat_batch", type=_str2bool, default=False,
+                        help="fuse the discriminator's real+fake forwards "
+                             "into one 2B-batch pass (no BatchNorm in the "
+                             "discriminator, so semantics are unchanged "
+                             "up to dropout draws — train/gan.py)")
+    parser.add_argument("--grad_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="bfloat16: backward (and the DP gradient "
+                             "all-reduce) runs in bf16; fp32 masters "
+                             "still applied by Adam. Requires "
+                             "--compute_dtype bfloat16")
+    parser.add_argument("--cast_inputs", type=_str2bool, default=False,
+                        help="cast float32 batch arrays to bfloat16 on "
+                             "the HOST before transfer — halves "
+                             "host->device bytes (quantizes the "
+                             "regression target to bf16; quality-checked "
+                             "in BASELINE.md). Meant for input-bound "
+                             "links; requires --compute_dtype bfloat16")
+    parser.add_argument("--data_echo", type=int, default=1,
+                        help="step each transferred batch E times "
+                             "(fresh dropout/GAN RNG per echo) — the "
+                             "standard mitigation when the host->device "
+                             "link, not the chip, bounds training "
+                             "(arXiv 1907.05550); E multiplies the "
+                             "steps seen per data epoch")
     # --num_devices / --prefetch are inherited from the shared eval
     # parser (train semantics: the global --batch_size shards over the
     # data mesh, params/optimizer replicated — reference DataParallel,
@@ -109,11 +136,17 @@ def main(args=None):
                      "devices", proc_idx, proc_cnt,
                      len(jax.local_devices()), jax.device_count())
 
+    if args.cast_inputs and args.compute_dtype != "bfloat16":
+        raise SystemExit("--cast_inputs requires --compute_dtype bfloat16")
+    if args.data_echo < 1:
+        raise SystemExit("--data_echo must be >= 1")
+
     if args.synthetic:
         from ..data.synthetic import SyntheticGestureDataset
 
-        dataset = SyntheticGestureDataset(n_samples=args.synthetic,
-                                          seed=args.seed)
+        dataset = SyntheticGestureDataset(
+            n_samples=args.synthetic, seed=args.seed,
+            class_overlap=getattr(args, "class_overlap", 0.0))
         n_words = 64
     else:
         from ..data.dataset import SpeechMotionDataset
@@ -130,7 +163,10 @@ def main(args=None):
         dataset.set_lang_model(lang_model)
         n_words = lang_model.n_words
 
-    steps_per_epoch = max(len(dataset) // args.batch_size, 1)
+    # one epoch = one pass over the data; echo steps count toward it so
+    # the staged LR ladder still advances per DATA epoch
+    steps_per_epoch = max(len(dataset) // args.batch_size, 1) * \
+        args.data_echo
     cfg = gan.GANConfig(
         n_words=n_words, frames=args.n_frames, pose_dim=args.pose_dim,
         prior_frames=args.n_pre_poses, d_model=args.d_model,
@@ -142,7 +178,8 @@ def main(args=None):
         loss_emotion_weight=args.loss_emotion_weight,
         loss_contrastive_weight=args.loss_contrastive_weight,
         variant=args.variant, compute_dtype=args.compute_dtype,
-        update_order=args.update_order)
+        update_order=args.update_order,
+        d_concat_batch=args.d_concat_batch, grad_dtype=args.grad_dtype)
     gen_state, disc_state = gan.create_states(cfg, jax.random.PRNGKey(
         args.seed))
     tp = getattr(args, "model_parallel", 1) > 1
@@ -218,6 +255,17 @@ def main(args=None):
         raw = dataset.batches(args.batch_size, shuffle=True,
                               seed=args.seed + epoch,
                               rows=proc_rows, fields=_KEYS)
+        if args.cast_inputs:
+            # halve the wire bytes on input-bound links: f32 -> bf16 on
+            # the producer thread (ml_dtypes arrays transfer natively)
+            import ml_dtypes
+
+            def _cast(b):
+                return {k: (v.astype(ml_dtypes.bfloat16)
+                            if v.dtype == np.float32 else v)
+                        for k, v in b.items()}
+
+            raw = (_cast(b) for b in raw)
         if args.prefetch > 0:
             return Prefetcher(raw, buffer_size=args.prefetch,
                               sharding=sharding, place=place)
@@ -300,44 +348,54 @@ def main(args=None):
                     "shutdown requested — checkpointing at step %d and "
                     "exiting cleanly", global_iter)
                 break
-            rng = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1),
-                                     global_iter)
-            if profile_at is not None and global_iter == profile_at:
-                from ..utils.profiling import _suspend_compilation_cache
+            if args.data_echo > 1 and mesh is None:
+                # pay the host->device transfer ONCE for the E echo
+                # steps (sharded runs are already placed by the
+                # prefetcher)
+                batch = jax.device_put(batch)
+            for _echo in range(args.data_echo):
+                rng = jax.random.fold_in(
+                    jax.random.PRNGKey(args.seed + 1), global_iter)
+                if profile_at is not None and global_iter == profile_at:
+                    from ..utils.profiling import \
+                        _suspend_compilation_cache
 
-                # a compile under an ACTIVE trace whose cache key matches
-                # an existing entry CHECK-aborts XLA's executable
-                # deserializer (jax 0.9.0, reproduced 3x on full-suite
-                # runs incl. a freshly rebuilt cache); the persistent
-                # cache is suspended for the trace window
-                _cache_restore = _suspend_compilation_cache()
-                jax.profiler.start_trace(args.profile_dir)
-                profiling = True
-                trace_started = True
-            gen_state, disc_state, metrics = gan.train_step(
-                gen_state, disc_state, batch, rng, cfg, use_disc=use_disc)
-            global_iter += 1
-            if profiling and global_iter >= profile_at + args.profile_steps:
-                jax.tree_util.tree_map(
-                    lambda x: x.block_until_ready(), metrics)
-                jax.profiler.stop_trace()
-                _cache_restore()
-                profiling = False
-                logging.info("profiler trace written to %s",
-                             args.profile_dir)
-            if global_iter % 10 == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                guard_finite(m, "train metrics")  # EGTP_DEBUG_NANS=1
-                logging.info(
-                    "epoch %d iter %d lr %.2e g %.4f (rec %.4f emo %.4f "
-                    "con %.4f adv %.4f) d %.4f [%.1fs]",
-                    epoch, global_iter, lr_now, m["g_loss"], m["g_rec"],
-                    m["g_emo"], m["g_con"], m["g_adv"], m["d_loss"],
-                    time.time() - start)
-                if save_ok:  # one metrics stream per run, not per process
-                    metrics_log.log(global_iter, **m)
-            if global_iter % args.save_every == 0:
-                save_all()
+                    # a compile under an ACTIVE trace whose cache key
+                    # matches an existing entry CHECK-aborts XLA's
+                    # executable deserializer (jax 0.9.0, reproduced 3x
+                    # on full-suite runs incl. a freshly rebuilt cache);
+                    # the persistent cache is suspended for the trace
+                    # window
+                    _cache_restore = _suspend_compilation_cache()
+                    jax.profiler.start_trace(args.profile_dir)
+                    profiling = True
+                    trace_started = True
+                gen_state, disc_state, metrics = gan.train_step(
+                    gen_state, disc_state, batch, rng, cfg,
+                    use_disc=use_disc)
+                global_iter += 1
+                if profiling and \
+                        global_iter >= profile_at + args.profile_steps:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), metrics)
+                    jax.profiler.stop_trace()
+                    _cache_restore()
+                    profiling = False
+                    logging.info("profiler trace written to %s",
+                                 args.profile_dir)
+                if global_iter % 10 == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    guard_finite(m, "train metrics")  # EGTP_DEBUG_NANS=1
+                    logging.info(
+                        "epoch %d iter %d lr %.2e g %.4f (rec %.4f emo "
+                        "%.4f con %.4f adv %.4f) d %.4f [%.1fs]",
+                        epoch, global_iter, lr_now, m["g_loss"],
+                        m["g_rec"], m["g_emo"], m["g_con"], m["g_adv"],
+                        m["d_loss"], time.time() - start)
+                    if save_ok:  # one metrics stream per run/process
+                        metrics_log.log(global_iter, **m)
+                if global_iter % args.save_every == 0:
+                    save_all()
     if profiling:  # run ended inside the window
         jax.profiler.stop_trace()
         _cache_restore()

@@ -105,6 +105,22 @@ class GANConfig:
     # intra-block activations): train-batch-headroom lever for the
     # activation-dominated stage-1 memory peak; measured in BASELINE.md
     remat_audio: bool = False
+    # fuse the discriminator's real+fake forwards into ONE 2B-batch pass
+    # (VERDICT r4 item 6). Semantically free here: MotionDiscriminator
+    # has NO BatchNorm (transformer LayerNorms + Linears only), so the
+    # only difference from two passes is the dropout mask draw — one key
+    # masks 2B rows instead of two keys masking B each. Measured in
+    # BASELINE.md.
+    d_concat_batch: bool = False
+    # dtype gradients are computed (and, under GSPMD data parallelism,
+    # ALL-REDUCED) in. "float32" (default): grads upcast at the param-
+    # cast transpose before the collective — the parity behavior.
+    # "bfloat16": differentiate w.r.t. the bf16 param copy, so the whole
+    # backward, including the cross-chip gradient all-reduce XLA inserts,
+    # runs in bf16 (half the ICI bytes — BASELINE.md multi-chip model);
+    # grads are upcast to fp32 only at the Adam update. Requires
+    # compute_dtype="bfloat16".
+    grad_dtype: str = "float32"
 
 
 def build_models(cfg: GANConfig):
@@ -146,6 +162,49 @@ def train_step(gen_state: TrainState, disc_state: TrainState, batch,
     """One generator + one discriminator update. `batch` holds
     spectrogram (B,128,T), text (B,F) int, pose_seq (B,F,D),
     eid_label (B,8). `use_disc=False` implements the warm-up epochs."""
+    return _train_step_impl(gen_state, disc_state, batch, rng, cfg,
+                            use_disc)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_disc"),
+                   donate_argnums=(0, 1))
+def train_steps(gen_state: TrainState, disc_state: TrainState, batches,
+                rng, cfg: GANConfig, use_disc: bool = True):
+    """K train steps in ONE dispatch — a device-side training loop.
+
+    `batches` holds (K, B, ...) arrays (one shuffled K*B host window
+    reshaped, so no extra copies). The K micro-steps run as a lax.scan
+    whose body is the full single-step update; parameters/optimizer
+    advance sequentially exactly as K train_step calls would (parity
+    test: tests/test_train.py::test_train_steps_matches_sequential).
+
+    Why: on hosted/tunneled runtimes each dispatch+H2D round trip costs
+    hundreds of ms regardless of payload (BASELINE.md round-5 loop
+    decomposition), while the chip step itself is 74.5 ms — so the
+    per-step protocol overhead, not the data path, bounds the training
+    loop. One dispatch per K steps amortizes it K-fold. Per-step RNGs
+    are split from `rng`; metrics are returned stacked (K,) per key."""
+    k = jax.tree_util.tree_leaves(batches)[0].shape[0]
+
+    def body(carry, xs):
+        gs, ds = carry
+        batch, step_rng = xs
+        gs, ds, metrics = _train_step_impl(gs, ds, batch, step_rng, cfg,
+                                           use_disc)
+        return (gs, ds), metrics
+
+    # unroll=k: the HLO while-loop form of this scan executes ~140x
+    # slower on this TPU runtime (85 s vs 0.6 s for K=8 at the flagship
+    # config — same family as the CLAUDE.md scan-vs-unroll compile note);
+    # fully unrolled it is K copies of the proven single-step graph
+    (gen_state, disc_state), metrics = jax.lax.scan(
+        body, (gen_state, disc_state),
+        (batches, jax.random.split(rng, k)), unroll=k)
+    return gen_state, disc_state, metrics
+
+
+def _train_step_impl(gen_state: TrainState, disc_state: TrainState,
+                     batch, rng, cfg: GANConfig, use_disc: bool):
     spec = batch["spectrogram"]
     text = batch["text"]
     target = batch["pose_seq"]
@@ -160,27 +219,53 @@ def train_step(gen_state: TrainState, disc_state: TrainState, batch,
     cast_c = (lambda t: cast_tree(t, cdtype)) if cdtype != jnp.float32 \
         else (lambda t: t)
     f32 = lambda x: x.astype(jnp.float32)
+    bf16_grads = cfg.grad_dtype == "bfloat16"
+    if bf16_grads and cdtype != jnp.bfloat16:
+        raise ValueError("grad_dtype='bfloat16' requires "
+                         "compute_dtype='bfloat16'")
+
+    def value_and_grad_cast(loss_fn, params, *args):
+        """value_and_grad with the mixed-precision cast INSIDE or OUTSIDE
+        the differentiation, per cfg.grad_dtype (see the field
+        docstring). Either way `loss_fn` receives compute-dtype params
+        and the returned grads are fp32 for the optimizer."""
+        if bf16_grads:
+            out, grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                cast_c(params), *args)
+            return out, jax.tree_util.tree_map(f32, grads)
+        return jax.value_and_grad(
+            lambda p, *a: loss_fn(cast_c(p), *a), has_aux=True)(
+                params, *args)
 
     def d_update(fake):
         """One discriminator step on `fake` (already stop-gradient'd,
         compute dtype); reads the PRE-update disc state."""
-        def d_loss_fn(dparams):
-            dv = {"params": cast_c(dparams), **(
+        def d_loss_fn(cdparams):
+            dv = {"params": cdparams, **(
                 {"batch_stats": disc_state.batch_stats}
                 if disc_state.batch_stats else {})}
-            real_logits = disc_state.apply_fn(
-                dv, calc_motion(cast_c(target)), train=True,
-                rngs={"dropout": d_rng_real})
-            fake_logits = disc_state.apply_fn(
-                dv, calc_motion(fake), train=True,
-                rngs={"dropout": d_rng_fake})
-            return losses.gan_d_loss(f32(real_logits), f32(fake_logits))
+            real_motion = calc_motion(cast_c(target))
+            if cfg.d_concat_batch:
+                logits = disc_state.apply_fn(
+                    dv, jnp.concatenate([real_motion, calc_motion(fake)]),
+                    train=True, rngs={"dropout": d_rng_real})
+                real_logits, fake_logits = jnp.split(logits, 2)
+            else:
+                real_logits = disc_state.apply_fn(
+                    dv, real_motion, train=True,
+                    rngs={"dropout": d_rng_real})
+                fake_logits = disc_state.apply_fn(
+                    dv, calc_motion(fake), train=True,
+                    rngs={"dropout": d_rng_fake})
+            loss = losses.gan_d_loss(f32(real_logits), f32(fake_logits))
+            return loss, ()
 
-        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(disc_state.params)
+        (d_loss, _), d_grads = value_and_grad_cast(
+            d_loss_fn, disc_state.params)
         return d_loss, disc_state.apply_gradients(d_grads)
 
-    def g_loss_fn(gparams, disc_for_adv):
-        gv = {"params": cast_c(gparams), "batch_stats": gen_state.batch_stats}
+    def g_loss_fn(cgparams, disc_for_adv):
+        gv = {"params": cgparams, "batch_stats": gen_state.batch_stats}
         (pred, emo_feat, sem_feat, emo_logits, _), mutated = \
             gen_state.apply_fn(
                 gv, cast_c(spec), text, cast_c(prior), train=True,
@@ -227,8 +312,8 @@ def train_step(gen_state: TrainState, disc_state: TrainState, batch,
         else:
             d_loss, new_disc = jnp.zeros(()), disc_state
         # --- generator update: adversarial term vs the UPDATED disc -----
-        (g_loss, aux), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(gen_state.params, new_disc)
+        (g_loss, aux), g_grads = value_and_grad_cast(
+            g_loss_fn, gen_state.params, new_disc)
         aux.pop("fake")
         new_gen = gen_state.apply_gradients(
             g_grads, new_batch_stats=aux.pop("batch_stats"))
@@ -237,8 +322,8 @@ def train_step(gen_state: TrainState, disc_state: TrainState, batch,
         # adversarial term vs the PRE-update disc; D then trains on
         # stop_gradient of the same prediction (saves one full generator
         # forward per step)
-        (g_loss, aux), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(gen_state.params, disc_state)
+        (g_loss, aux), g_grads = value_and_grad_cast(
+            g_loss_fn, gen_state.params, disc_state)
         fake = aux.pop("fake")
         new_gen = gen_state.apply_gradients(
             g_grads, new_batch_stats=aux.pop("batch_stats"))

@@ -564,3 +564,29 @@ def test_materialize_store_matches_synthetic(tmp_path):
                                     "eid_label")))
     assert batch["spectrogram"].shape == (8, 128, 124)
     assert batch["text"].dtype == np.int32
+
+
+def test_class_overlap_knob():
+    """class_overlap (VERDICT r4 Weak #5): 0 keeps the original clean
+    postural signal; >0 blends toward the next class per sample while
+    keeping the class MEAN signature dominant (so classifiers can still
+    train, but per-sample detail matters)."""
+    clean = SyntheticGestureDataset(n_samples=32, seed=7)
+    noisy = SyntheticGestureDataset(n_samples=32, seed=7,
+                                    class_overlap=0.6)
+    assert not np.allclose(clean[0]["pose_seq"], noisy[0]["pose_seq"])
+    # audio/spectrogram/labels/text are untouched by the knob
+    np.testing.assert_array_equal(clean[0]["audio"], noisy[0]["audio"])
+    np.testing.assert_array_equal(clean[0]["eid_label"],
+                                  noisy[0]["eid_label"])
+    # class-mean posture still closer to its own clean signature than to
+    # the neighbor's for every class (signal dominant under U(0, 0.6))
+    joint = np.arange(1, noisy.pose_dim + 1)
+    for emotion in range(8):
+        own = 0.08 * np.sin(joint * (emotion + 1) * 0.7)
+        nxt = 0.08 * np.sin(joint * ((emotion + 1) % 8 + 1) * 0.7)
+        mean_pose = np.mean(
+            [noisy[i]["pose_seq"].mean(axis=0)
+             for i in range(emotion, 32, 8)], axis=0)
+        assert (np.linalg.norm(mean_pose - own)
+                < np.linalg.norm(mean_pose - nxt)), emotion

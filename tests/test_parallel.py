@@ -457,3 +457,62 @@ def test_tp_eval_pipeline_matches_single_device(rng):
     for name, a, b in zip(("pred", "feat", "logits"), ref, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=2e-4, err_msg=name)
+
+
+def test_dp_bf16_grads_concat_d_matches_single_device(rng):
+    """VERDICT r4 item 6: grad_dtype='bfloat16' (backward + DP gradient
+    all-reduce in bf16) and d_concat_batch together must preserve the
+    GSPMD global-batch semantics — DP-sharded execution matches
+    single-device execution of the SAME config. Tolerances are bf16-wide
+    but far below the percent-scale shifts a per-shard semantic deviation
+    produces."""
+    from emotiongestures_tpu.train import gan
+
+    cfg = gan.GANConfig(n_words=16, d_model=64, d_inner=128, n_layers=1,
+                        n_head=4, d_k=16, d_v=16,
+                        compute_dtype="bfloat16", grad_dtype="bfloat16",
+                        d_concat_batch=True, update_order="g_first")
+    ds = SyntheticGestureDataset(n_samples=16, seed=3)
+    raw = make_batch([ds[i] for i in range(16)])
+    batch = {k: jnp.asarray(v) for k, v in raw.items()
+             if k in ("spectrogram", "text", "pose_seq", "eid_label")}
+
+    gs1, ds1 = gan.create_states(cfg, jax.random.PRNGKey(0))
+    gs1, ds1, m1 = gan.train_step(gs1, ds1, batch, jax.random.PRNGKey(1),
+                                  cfg, use_disc=True)
+
+    mesh = make_mesh()
+    gs2, ds2 = gan.create_states(cfg, jax.random.PRNGKey(0))
+    gs2 = gs2.replace(params=replicate(gs2.params, mesh),
+                      batch_stats=replicate(gs2.batch_stats, mesh),
+                      opt_state=replicate(gs2.opt_state, mesh))
+    ds2 = ds2.replace(params=replicate(ds2.params, mesh),
+                      batch_stats=replicate(ds2.batch_stats, mesh),
+                      opt_state=replicate(ds2.opt_state, mesh))
+    gs2, ds2, m2 = gan.train_step(gs2, ds2, shard_batch(batch, mesh),
+                                  jax.random.PRNGKey(1), cfg,
+                                  use_disc=True)
+    for k in ("g_loss", "d_loss", "g_rec", "g_emo", "g_con", "g_adv"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=2e-2, atol=1e-4, err_msg=k)
+    # and the updated params agree (the all-reduced bf16 grads fed the
+    # same fp32 Adam masters)
+    p1 = jax.tree_util.tree_leaves(gs1.params)
+    p2 = jax.tree_util.tree_leaves(gs2.params)
+    worst = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(p1, p2))
+    assert worst < 5e-4, f"param divergence {worst}"
+
+
+def test_grad_dtype_requires_bf16_compute():
+    from emotiongestures_tpu.train import gan
+
+    cfg = gan.GANConfig(n_words=16, d_model=64, d_inner=128, n_layers=1,
+                        n_head=4, d_k=16, d_v=16, grad_dtype="bfloat16")
+    ds = SyntheticGestureDataset(n_samples=4, seed=0)
+    raw = make_batch([ds[i] for i in range(4)])
+    batch = {k: jnp.asarray(v) for k, v in raw.items()
+             if k in ("spectrogram", "text", "pose_seq", "eid_label")}
+    gs, dsr = gan.create_states(cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="grad_dtype"):
+        gan.train_step(gs, dsr, batch, jax.random.PRNGKey(1), cfg,
+                       use_disc=True)
