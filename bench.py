@@ -279,7 +279,8 @@ def _train_bench_at(batch, cfg, iters=10, rounds=3, warmup=2):
 
 
 def bench_train_step(batch=128, compute_dtype="float32",
-                     update_order="d_first", remat_audio=False) -> dict:
+                     update_order="d_first", remat_audio=False,
+                     d_concat_batch=False, grad_dtype="float32") -> dict:
     """GAN train_step (G+D updates) steps/s at the flagship config, with
     the same honesty guards as the flagship bench (VERDICT r2 item 5):
     cost-model FLOPs -> implied TFLOP/s, MFU asserted < chip peak, and
@@ -290,7 +291,9 @@ def bench_train_step(batch=128, compute_dtype="float32",
     from emotiongestures_tpu.train import gan
 
     cfg = gan.GANConfig(n_words=N_WORDS, compute_dtype=compute_dtype,
-                        update_order=update_order, remat_audio=remat_audio)
+                        update_order=update_order, remat_audio=remat_audio,
+                        d_concat_batch=d_concat_batch,
+                        grad_dtype=grad_dtype)
     dt, flops = _train_bench_at(batch, cfg)
     dt2, _ = _train_bench_at(batch * 2, cfg, iters=5, rounds=2, warmup=1)
     ratio = dt2 / dt
@@ -316,6 +319,63 @@ def bench_train_step(batch=128, compute_dtype="float32",
             "implied_tflops": round(implied / 1e12, 2) if implied else None,
             "mfu_vs_bf16_peak": round(mfu, 4) if mfu else None,
             "compute_dtype": compute_dtype, "update_order": update_order}
+
+
+def bench_mel_frontend(n_clips: int = 64, clip_s: float = 10.0) -> dict:
+    """Preprocessing mel-frontend throughput (VERDICT r4 item 8): the
+    host numpy path vs the XLA device path vs the fused Pallas
+    FFT+filterbank kernel, on `n_clips` clips of `clip_s` seconds.
+    Device paths are honest: the spectrograms are fetched back to host
+    numpy (the preprocessor's consumption), which forces execution AND
+    charges the tunnel transfer both ways."""
+    import numpy as np
+
+    from emotiongestures_tpu.ops import mel as M
+
+    rng = np.random.RandomState(0)
+    n = int(clip_s * 16000)
+    waves = rng.randn(n_clips, n).astype(np.float32)
+
+    def rate(fn, reps=3):
+        fn(waves[:2])  # warm/compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(waves)
+            assert isinstance(out, np.ndarray) and out.ndim == 3
+        return n_clips * reps / (time.perf_counter() - t0)
+
+    def numpy_fn(w):
+        return np.stack([M._power_to_db_np(M._melspectrogram_np(x))
+                         .astype(np.float16) for x in w])
+
+    def xla_fn(w):
+        import jax.numpy as jnp
+
+        out = M.batched_log_melspectrogram(jnp.asarray(w))
+        return np.asarray(out.astype(jnp.float16))
+
+    def pallas_fn(w):
+        import jax.numpy as jnp
+
+        from emotiongestures_tpu.ops.pallas_mel import \
+            batched_melspectrogram_pallas
+
+        mel = batched_melspectrogram_pallas(jnp.asarray(w))
+        return np.asarray(M.power_to_db(mel).astype(jnp.float16))
+
+    r_np = rate(numpy_fn)
+    r_xla = rate(xla_fn)
+    r_pl = rate(pallas_fn)
+    best = max(("numpy", r_np), ("xla", r_xla), ("pallas", r_pl),
+               key=lambda kv: kv[1])
+    print(f"[bench] mel frontend ({n_clips} x {clip_s:.0f}s clips): "
+          f"numpy {r_np:.1f} clips/s | xla {r_xla:.1f} | pallas "
+          f"{r_pl:.1f} -> best: {best[0]}", file=sys.stderr)
+    return {"n_clips": n_clips, "clip_seconds": clip_s,
+            "numpy_clips_per_s": round(r_np, 1),
+            "xla_clips_per_s": round(r_xla, 1),
+            "pallas_clips_per_s": round(r_pl, 1),
+            "best": best[0]}
 
 
 def bench_sol_train(batch=128) -> dict:
@@ -650,6 +710,10 @@ def main():
     if "--sol-train" in sys.argv:
         print(json.dumps({"mode": "sol_train", **bench_sol_train()}))
         return
+    if "--mel" in sys.argv:
+        print(json.dumps({"mode": "mel_frontend",
+                          **bench_mel_frontend()}))
+        return
     if "--train" in sys.argv:
         cdtype = "bfloat16" if "--bf16" in sys.argv else "float32"
         order = "g_first" if "--g-first" in sys.argv else "d_first"
@@ -658,12 +722,17 @@ def main():
             if a.startswith("--batch="):
                 batch = int(a.split("=")[1])
         print(json.dumps({"mode": "train_step",
-                          **bench_train_step(batch=batch,
-                                             compute_dtype=cdtype,
-                                             update_order=order,
-                                             remat_audio="--remat"
-                                             in sys.argv),
-                          "remat_audio": "--remat" in sys.argv}))
+                          **bench_train_step(
+                              batch=batch, compute_dtype=cdtype,
+                              update_order=order,
+                              remat_audio="--remat" in sys.argv,
+                              d_concat_batch="--d-concat" in sys.argv,
+                              grad_dtype=("bfloat16" if "--grad-bf16"
+                                          in sys.argv else "float32")),
+                          "remat_audio": "--remat" in sys.argv,
+                          "d_concat_batch": "--d-concat" in sys.argv,
+                          "grad_dtype": ("bfloat16" if "--grad-bf16"
+                                         in sys.argv else "float32")}))
         return
     if "--eval" in sys.argv:
         prec = "bfloat16" if "--bf16" in sys.argv else "float32"

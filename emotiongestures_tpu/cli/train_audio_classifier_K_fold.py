@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "(data/synthetic.py)")
     parser.add_argument("--max_folds", type=int, default=None)
     parser.add_argument("--eval_every", type=int, default=100)
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the latest checkpoint in "
+                             "--model_save_path: earlier folds are "
+                             "skipped and the interrupted fold resumes "
+                             "mid-epoch on the replayed permutation")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
@@ -137,10 +142,33 @@ def main(args=None):
         test = mk(args.test_data_path)
         full = _ConcatDataset([train_ds, val_ds])
 
+    import json
+    from pathlib import Path
+
+    progress_path = Path(args.model_save_path) / "kfold_progress.json"
+
     def checkpoint_fn(state, fold, epoch, it):
         path = save_checkpoint(state, args.model_save_path)
+        progress_path.write_text(json.dumps(
+            {"fold": fold, "epoch": epoch, "iter": it}))
         logging.info("saved %s (fold %d epoch %d iter %d)",
                      path, fold + 1, epoch, it)
+
+    resume_from = None
+    if args.resume:
+        from ..utils import load_checkpoint
+
+        template = classifier.create_state(jax.random.PRNGKey(args.seed),
+                                           lr=args.lr)
+        state, ok = load_checkpoint(template, args.model_save_path)
+        if ok and progress_path.exists():
+            fold = json.loads(progress_path.read_text())["fold"]
+            resume_from = (state, fold)
+            logging.info("resuming fold %d from iter %d", fold + 1,
+                         int(state.step))
+        else:
+            logging.warning("--resume: no checkpoint/progress found in "
+                            "%s — starting fresh", args.model_save_path)
 
     mesh = parallel.dp_setup(args.num_devices, args.batch_size)
     if mesh is not None:
@@ -161,10 +189,19 @@ def main(args=None):
             mesh=mesh,
             prefetch=args.prefetch,
             should_stop=lambda: stop.requested,
+            resume_from=resume_from,
         )
     for r in results:
         logging.info("Fold %d: Test Accuracy %.2f%%", r["fold"] + 1,
                      r["test_acc"])
+        # confusion-matrix artifact per fold (train_...py:206-255)
+        cm_path = str(Path(args.model_save_path)
+                      / f"confusion_fold{r['fold'] + 1}.png")
+        try:
+            classifier.vis_confusion_matrix(r["confusion"], cm_path)
+            logging.info("confusion matrix -> %s", cm_path)
+        except Exception as exc:  # matplotlib backend quirks only
+            logging.warning("confusion-matrix plot failed: %s", exc)
     return results
 
 

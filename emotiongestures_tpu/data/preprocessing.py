@@ -93,8 +93,26 @@ class DataPreprocessor:
                  mean_pose=None, mean_dir_vec=None,
                  disable_filtering: bool = False,
                  convert_to_dir_vec: bool = True,
-                 dir_vec_pairs=None):
+                 dir_vec_pairs=None,
+                 spectrogram_frontend: str = "precomputed"):
+        """`spectrogram_frontend`: where each clip's mel spectrogram
+        comes from. "precomputed" (default, reference semantics —
+        utils/train_utils_BEAT.py:186-195 runs offline and the
+        preprocessor only CROPS clip['audio_feat']); "numpy" (host
+        librosa-formula path), "xla" or "pallas" (device frontends —
+        ops/mel.py / ops/pallas_mel.py, the fused FFT+filterbank
+        kernel) recompute it from clip['audio_raw'] — for clip stores
+        that never had spectrograms, or to regenerate them at full
+        fidelity. Throughput of the three compute options is measured
+        in `bench.py --mel` (BASELINE.md)."""
         from ..ops.pose import DIR_VEC_PAIRS, DIR_VEC_PAIRS_EXPRESSIVE
+
+        if spectrogram_frontend not in ("precomputed", "numpy", "xla",
+                                        "pallas"):
+            raise ValueError(
+                f"unknown spectrogram_frontend {spectrogram_frontend!r}")
+        self.spectrogram_frontend = spectrogram_frontend
+        self._pallas_interpret = False  # tests flip this on CPU
 
         self.n_poses = n_poses
         self.subdivision_stride = subdivision_stride
@@ -139,9 +157,33 @@ class DataPreprocessor:
         self.src.close()
         return dict(n_filtered_out), self.n_out_samples
 
+    def _clip_spectrogram(self, audio_raw: np.ndarray) -> np.ndarray:
+        """Clip-level log-mel via the selected compute frontend
+        (float16, the reference's cache dtype)."""
+        from ..ops import mel as M
+
+        wave = np.asarray(audio_raw, dtype=np.float32)
+        if self.spectrogram_frontend == "numpy":
+            return M._power_to_db_np(
+                M._melspectrogram_np(wave)).astype(np.float16)
+        if self.spectrogram_frontend == "pallas":
+            from ..ops.pallas_mel import extract_melspectrogram_pallas
+
+            return np.asarray(extract_melspectrogram_pallas(
+                wave, interpret=self._pallas_interpret))
+        return np.asarray(M.extract_melspectrogram(wave))  # "xla"
+
     def _sample_from_clip(self, vid, clip, writer):
         clip_skeleton = np.asarray(clip["skeletons_3d"])
-        clip_audio = np.asarray(clip["audio_feat"])
+        if self.spectrogram_frontend != "precomputed":
+            clip_audio = self._clip_spectrogram(clip["audio_raw"])
+        elif "audio_feat" not in clip:
+            raise KeyError(
+                "clip record has no 'audio_feat' spectrogram — pass "
+                "spectrogram_frontend='numpy'/'xla'/'pallas' to compute "
+                "it from audio_raw")
+        else:
+            clip_audio = np.asarray(clip["audio_feat"])
         clip_audio_raw = np.asarray(clip["audio_raw"])
         clip_word_list = clip["words"]
         clip_aux = clip.get("aux_info", {})

@@ -177,9 +177,17 @@ def train_k_fold(
     mesh=None,
     prefetch: int = 2,
     should_stop=None,
+    resume_from=None,
 ):
     """Host-side K-fold driver mirroring train_...py:109-204. Returns the
     per-fold final test accuracies.
+
+    `resume_from`: (state, fold) from a checkpoint — folds before `fold`
+    are skipped (their results were already logged by the killed run),
+    and `fold` continues from state.step: the driver replays the same
+    seeded epoch permutations and skips the batches already consumed, so
+    the continued fold sees exactly the data order the uninterrupted run
+    would have.
 
     `mesh`: a (data,)-axis jax Mesh for GSPMD data parallelism — the
     reference wraps the model in DataParallel when >1 GPU is visible
@@ -193,20 +201,43 @@ def train_k_fold(
     log = logging.getLogger("emotiongestures_tpu.classifier")
     should_stop = should_stop or (lambda: False)
     results = []
+    start_fold = 0
+    resume_state = None
+    if resume_from is not None:
+        resume_state, start_fold = resume_from
     for fold, (train_idx, val_idx) in enumerate(
         k_fold_indices(len(dataset), n_splits, seed)
     ):
         if max_folds is not None and fold >= max_folds:
             break
+        if fold < start_fold:
+            continue
         if should_stop():
             break
-        state = create_state(jax.random.PRNGKey(seed + fold), lr=lr)
-        if mesh is not None:
-            from ..parallel import replicate_state
+        steps_per_epoch = max(len(train_idx) // batch_size, 1)
+        if resume_state is not None and fold == start_fold:
+            state = resume_state
+            if mesh is not None:
+                from ..parallel import replicate_state
 
-            state = replicate_state(state, mesh)
-        global_iter = 0
-        for epoch in range(epochs):
+                state = replicate_state(state, mesh)
+            resume_state = None
+            global_iter = int(state.step)
+            start_epoch = global_iter // steps_per_epoch
+            skip_batches = global_iter - start_epoch * steps_per_epoch
+            log.info("resuming fold %d at iter %d (epoch %d, skipping "
+                     "%d consumed batches)", fold + 1, global_iter,
+                     start_epoch, skip_batches)
+        else:
+            state = create_state(jax.random.PRNGKey(seed + fold), lr=lr)
+            if mesh is not None:
+                from ..parallel import replicate_state
+
+                state = replicate_state(state, mesh)
+            global_iter = 0
+            start_epoch = 0
+            skip_batches = 0
+        for epoch in range(start_epoch, epochs):
             if should_stop():
                 break
             # epoch-level class re-weighting over this fold's train split
@@ -215,6 +246,10 @@ def train_k_fold(
             alpha = class_alpha(all_labels)
             order = np.random.RandomState(seed + epoch).permutation(
                 train_idx)
+            if skip_batches:
+                # replay the permutation past the consumed prefix
+                order = order[skip_batches * batch_size:]
+                skip_batches = 0
             for batch in _batch_stream(dataset, order, batch_size, mesh,
                                        prefetch):
                 if should_stop():
