@@ -111,3 +111,39 @@ def test_words_in_time_range():
     words = [["a", 0.0, 0.5], ["b", 0.6, 1.0], ["c", 1.5, 2.0]]
     got = get_words_in_time_range(words, 0.4, 1.2)
     assert [w[0] for w in got] == ["a", "b"]
+
+
+def test_preprocessor_computed_frontends_match(tmp_path, rng):
+    """spectrogram_frontend (VERDICT r4 item 8): computing the clip
+    spectrogram from audio_raw via the numpy path and the fused Pallas
+    kernel yields windows that agree with each other (and with the
+    offline formula) to f16 resolution."""
+    clip = _make_clip(rng)
+    del clip["audio_feat"]  # a clip store without spectrograms
+    clip_dir = tmp_path / "clips"
+    with GestureStoreWriter(clip_dir) as w:
+        w.append(clip)
+
+    # 'precomputed' on a spec-less store must fail loudly
+    pre_bad = DataPreprocessor(clip_dir, tmp_path / "bad_cache",
+                               n_poses=60, subdivision_stride=30,
+                               pose_resampling_fps=15)
+    with pytest.raises(KeyError, match="audio_feat"):
+        pre_bad.run()
+
+    stores = {}
+    for frontend in ("numpy", "pallas"):
+        out = tmp_path / f"{frontend}_cache"
+        pre = DataPreprocessor(clip_dir, out, n_poses=60,
+                               subdivision_stride=30,
+                               pose_resampling_fps=15,
+                               spectrogram_frontend=frontend)
+        pre._pallas_interpret = True  # CPU backend in tests
+        _, n = pre.run()
+        assert n == 4
+        stores[frontend] = GestureStore(out)
+    for i in range(4):
+        a = stores["numpy"][i]["spectrogram"].astype(np.float32)
+        b = stores["pallas"][i]["spectrogram"].astype(np.float32)
+        assert a.shape == (128, 124)
+        np.testing.assert_allclose(a, b, atol=0.08)
