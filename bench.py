@@ -378,6 +378,200 @@ def bench_mel_frontend(n_clips: int = 64, clip_s: float = 10.0) -> dict:
             "best": best[0]}
 
 
+def bench_stage3(batch=1024) -> dict:
+    """Serving SoL experiment (VERDICT r4 item 5): race XLA's conv
+    emitter against GEMM formulations of the same math on the two
+    weakest entries of the serving SoL table (BASELINE.md):
+
+      (a) stage 3 of the audio SE-ResNet — 6 blocks, C=128, 32x31
+          spatial, measured 59% MFU. Every stride-1 3x3 conv is swapped
+          for ops/conv_gemm's tap-GEMM or im2col formulation (exact same
+          HWIO kernels, zero-padded SAME borders; parity asserted here
+          before timing).
+      (b) the encoder head (final conv 128->60 + BN + per-frame flatten
+          + fc(992->512) + fc(512->512)) — measured 14% MFU, conv
+          lane-bound at 60/128. Probes: tap-GEMM with the eval-mode BN
+          folded into the conv kernel, and the same with the conv's
+          output channels zero-padded 60->128 so the GEMM fills all MXU
+          lanes (2.13x FLOPs for a possibly-much-better rate).
+
+    All variants run eval-mode bf16 at the serving batch under the
+    honest harness. Accept/reject on the printed numbers (BASELINE.md).
+    """
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from emotiongestures_tpu.core.layers import BatchNorm, Conv, Linear
+    from emotiongestures_tpu.nn.resnet_se import SEBasicBlock
+    from emotiongestures_tpu.ops.conv_gemm import (conv3x3_im2col,
+                                                   conv3x3_taps)
+
+    # ---- (a) stage-3 stack ------------------------------------------
+    class _Stage3(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = SEBasicBlock(128, stride=2, has_downsample=True,
+                             train=False, name="b0")(x)
+            for i in range(1, 6):
+                x = SEBasicBlock(128, train=False, name=f"b{i}")(x)
+            return x
+
+    rng = np.random.RandomState(0)
+    x3 = jnp.asarray(rng.randn(batch, 64, 62, 64), jnp.bfloat16)
+    stage = _Stage3()
+    variables = stage.init(jax.random.PRNGKey(0), x3)
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16), variables["params"])
+    bstats = variables["batch_stats"]
+
+    def bn_eval(x, p, s):
+        inv = lax.rsqrt(s["var"].astype(jnp.float32) + 1e-5)
+        scale = (p["scale"].astype(jnp.float32) * inv).astype(x.dtype)
+        bias = (p["bias"].astype(jnp.float32)
+                - s["mean"].astype(jnp.float32) * p["scale"].astype(
+                    jnp.float32) * inv).astype(x.dtype)
+        return x * scale + bias
+
+    def se_gate(x, p):
+        y = jnp.mean(x, axis=(1, 2))
+        y = nn.relu(y @ p["fc1"]["kernel"] + p["fc1"]["bias"])
+        y = nn.sigmoid(y @ p["fc2"]["kernel"] + p["fc2"]["bias"])
+        return x * y[:, None, None, :]
+
+    def block_fwd(p, s, x, conv3x3, stride=1, down=False):
+        def conv(x, w, stride):
+            if stride == 1 and w.shape[:2] == (3, 3):
+                return conv3x3(x, w)
+            # explicit pad-1 for 3x3 (flax padding=1 semantics — NOT
+            # lax "SAME" under stride 2), pad-0 for the 1x1 downsample
+            pad = (1, 1) if w.shape[0] == 3 else (0, 0)
+            return lax.conv_general_dilated(
+                x, w, (stride, stride), (pad, pad),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = conv(x, p["conv1"]["Conv_0"]["kernel"], stride)
+        out = nn.relu(out)
+        out = bn_eval(out, p["bn1"]["BatchNorm_0"], s["bn1"]["BatchNorm_0"])
+        out = conv(out, p["conv2"]["Conv_0"]["kernel"], 1)
+        out = bn_eval(out, p["bn2"]["BatchNorm_0"], s["bn2"]["BatchNorm_0"])
+        out = se_gate(out, p["se"])
+        if down:
+            res = conv(x, p["downsample_conv"]["Conv_0"]["kernel"], stride)
+            res = bn_eval(res, p["downsample_bn"]["BatchNorm_0"],
+                          s["downsample_bn"]["BatchNorm_0"])
+        else:
+            res = x
+        return nn.relu(out + res)
+
+    def stage_fwd(params, bstats, x, conv3x3):
+        x = block_fwd(params["b0"], bstats["b0"], x, conv3x3,
+                      stride=2, down=True)
+        for i in range(1, 6):
+            x = block_fwd(params[f"b{i}"], bstats[f"b{i}"], x, conv3x3)
+        return x
+
+    def conv3x3_xla(x, w):
+        return lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # parity before timing (flax apply vs every pure impl)
+    ref_out = stage.apply(variables, x3[:8])
+    for name, impl in [("xla", conv3x3_xla), ("taps", conv3x3_taps),
+                       ("im2col", conv3x3_im2col)]:
+        got = stage_fwd(params, bstats, x3[:8].astype(jnp.bfloat16), impl)
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                    - ref_out.astype(jnp.float32))))
+        scale_ = float(jnp.max(jnp.abs(ref_out.astype(jnp.float32)))) or 1.0
+        assert err / scale_ < 0.05, f"stage3 {name} parity: {err} vs {scale_}"
+
+    rows = {}
+    for name, impl in [("xla", conv3x3_xla), ("taps", conv3x3_taps),
+                       ("im2col", conv3x3_im2col)]:
+        fn = jax.jit(lambda p, s, x, impl=impl:
+                     jnp.sum(stage_fwd(p, s, x, impl).astype(jnp.float32)))
+        flops = _cost_flops(fn.lower(params, bstats, x3).compile())
+        dt = timed_rounds(lambda i, f=fn: f(params, bstats, x3),
+                          iters=10, rounds=3, warmup=2)
+        rows[name] = {"ms": round(dt * 1e3, 2),
+                      "gflops": round(flops / 1e9, 1) if flops else None,
+                      "tflops": round(flops / dt / 1e12, 1) if flops else None}
+        print(f"[stage3] {name}: {dt * 1e3:.2f} ms "
+              f"({rows[name]['tflops']} TFLOP/s)", file=sys.stderr)
+
+    # ---- (b) head ----------------------------------------------------
+    class _Head(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            B = x.shape[0]
+            x = Conv(FRAMES, (3, 3), padding=1, name="final_conv1")(x)
+            x = BatchNorm(use_running_average=True, name="bn1")(x)
+            x = jnp.transpose(x, (0, 3, 1, 2)).reshape(B, FRAMES, -1)
+            x = Linear(512, name="fc1")(x)
+            x = Linear(512, name="fc2")(x)
+            return x
+
+    xh = jnp.asarray(rng.randn(batch, 32, 31, 128), jnp.bfloat16)
+    head = _Head()
+    hvars = head.init(jax.random.PRNGKey(1), xh)
+    hp = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16), hvars["params"])
+    hs = hvars["batch_stats"]
+
+    # fold eval-mode BN into the conv kernel/bias (exact)
+    wc = hp["final_conv1"]["Conv_0"]["kernel"].astype(jnp.float32)
+    bc = hp["final_conv1"]["Conv_0"]["bias"].astype(jnp.float32)
+    bnp_, bns_ = hvars["params"]["bn1"]["BatchNorm_0"], \
+        hs["bn1"]["BatchNorm_0"]
+    inv = 1.0 / np.sqrt(np.asarray(bns_["var"], np.float64) + 1e-5)
+    g = np.asarray(bnp_["scale"], np.float64) * inv
+    w_fold = jnp.asarray(wc * g[None, None, None, :], jnp.bfloat16)
+    b_fold = jnp.asarray(
+        (bc - np.asarray(bns_["mean"], np.float64)) * g
+        + np.asarray(bnp_["bias"], np.float64), jnp.bfloat16)
+    w_pad = jnp.pad(w_fold, ((0, 0), (0, 0), (0, 0), (0, 128 - FRAMES)))
+    b_pad = jnp.pad(b_fold, (0, 128 - FRAMES))
+
+    def head_fcs(a, B):  # (B, 32, 31, FRAMES) -> fc2 output
+        a = jnp.transpose(a, (0, 3, 1, 2)).reshape(B, FRAMES, -1)
+        a = a @ hp["fc1"]["kernel"] + hp["fc1"]["bias"]
+        return a @ hp["fc2"]["kernel"] + hp["fc2"]["bias"]
+
+    def head_flax(x):
+        return head.apply(hvars, x)
+
+    def head_taps(x):
+        return head_fcs(conv3x3_taps(x, w_fold) + b_fold, x.shape[0])
+
+    def head_padded(x):
+        a = conv3x3_taps(x, w_pad) + b_pad
+        return head_fcs(a[..., :FRAMES], x.shape[0])
+
+    ref_h = head_flax(xh[:8])
+    for name, fn in [("taps_fold", head_taps), ("taps_pad128", head_padded)]:
+        err = float(jnp.max(jnp.abs(fn(xh[:8]).astype(jnp.float32)
+                                    - ref_h.astype(jnp.float32))))
+        scale_ = float(jnp.max(jnp.abs(ref_h.astype(jnp.float32)))) or 1.0
+        assert err / scale_ < 0.05, f"head {name} parity: {err} vs {scale_}"
+
+    hrows = {}
+    for name, fn in [("flax", head_flax), ("taps_fold", head_taps),
+                     ("taps_pad128", head_padded)]:
+        jf = jax.jit(lambda x, f=fn: jnp.sum(f(x).astype(jnp.float32)))
+        flops = _cost_flops(jf.lower(xh).compile())
+        dt = timed_rounds(lambda i, f=jf: f(xh),
+                          iters=10, rounds=3, warmup=2)
+        hrows[name] = {"ms": round(dt * 1e3, 2),
+                       "gflops": round(flops / 1e9, 1) if flops else None,
+                       "tflops": round(flops / dt / 1e12, 1) if flops
+                       else None}
+        print(f"[head] {name}: {dt * 1e3:.2f} ms "
+              f"({hrows[name]['tflops']} TFLOP/s)", file=sys.stderr)
+    return {"batch": batch, "stage3": rows, "head": hrows}
+
+
 def bench_sol_train(batch=128) -> dict:
     """Train-step speed-of-light audit (VERDICT r3 item 8): jit each
     SE-ResNet stage's forward+backward in ISOLATION (bf16 compute, train
@@ -706,6 +900,9 @@ def main():
             if a.startswith("--windows="):
                 n = int(a.split("=")[1])
         print(json.dumps({"mode": "host_feed", **bench_host_feed(n)}))
+        return
+    if "--stage3" in sys.argv:
+        print(json.dumps({"mode": "stage3_head_race", **bench_stage3()}))
         return
     if "--sol-train" in sys.argv:
         print(json.dumps({"mode": "sol_train", **bench_sol_train()}))
