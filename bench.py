@@ -477,11 +477,14 @@ def bench_stage3(batch=1024) -> dict:
             x, w, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-    # parity before timing (flax apply vs every pure impl)
-    ref_out = stage.apply(variables, x3[:8])
+    # parity before timing (flax apply vs every pure impl) — each check
+    # jitted whole: eager op-by-op dispatch through the tunnel's ~0.4 s
+    # per-call latency takes tens of minutes for the same math
+    ref_out = jax.jit(stage.apply)(variables, x3[:8])
     for name, impl in [("xla", conv3x3_xla), ("taps", conv3x3_taps),
                        ("im2col", conv3x3_im2col)]:
-        got = stage_fwd(params, bstats, x3[:8].astype(jnp.bfloat16), impl)
+        got = jax.jit(lambda p, s, x, impl=impl: stage_fwd(p, s, x, impl))(
+            params, bstats, x3[:8].astype(jnp.bfloat16))
         err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
                                     - ref_out.astype(jnp.float32))))
         scale_ = float(jnp.max(jnp.abs(ref_out.astype(jnp.float32)))) or 1.0
@@ -549,9 +552,9 @@ def bench_stage3(batch=1024) -> dict:
         a = conv3x3_taps(x, w_pad) + b_pad
         return head_fcs(a[..., :FRAMES], x.shape[0])
 
-    ref_h = head_flax(xh[:8])
+    ref_h = jax.jit(head_flax)(xh[:8])
     for name, fn in [("taps_fold", head_taps), ("taps_pad128", head_padded)]:
-        err = float(jnp.max(jnp.abs(fn(xh[:8]).astype(jnp.float32)
+        err = float(jnp.max(jnp.abs(jax.jit(fn)(xh[:8]).astype(jnp.float32)
                                     - ref_h.astype(jnp.float32))))
         scale_ = float(jnp.max(jnp.abs(ref_h.astype(jnp.float32)))) or 1.0
         assert err / scale_ < 0.05, f"head {name} parity: {err} vs {scale_}"
