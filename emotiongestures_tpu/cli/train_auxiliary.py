@@ -98,6 +98,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "(round-4 rehearsal: 0/9 seeds escaped "
                              "without it); 0 restores the constant-lr "
                              "round-3 toy protocol")
+    parser.add_argument("--grad_clip", type=float, default=0.0,
+                        help="skeleton only: global-norm gradient clip "
+                             "(0 disables). Required on ambiguous data "
+                             "(--class_overlap > 0): a converged "
+                             "classifier meeting a near-boundary batch "
+                             "takes an Adam-amplified step that kills "
+                             "the network in one update (round-5 "
+                             "ledger); clipping bounds it so training "
+                             "recovers")
     return parser
 
 
@@ -205,7 +214,8 @@ def main(args=None):
         state = skeleton_train.create_state(key, lr=args.lr,
                                             pose_dim=args.pose_dim,
                                             d_inner=args.latent_dim,
-                                            warmup_steps=args.warmup_steps)
+                                            warmup_steps=args.warmup_steps,
+                                            grad_clip=args.grad_clip)
         step = lambda st, batch, rng: skeleton_train.train_step(
             st, batch["pose_seq"], batch["eid_label"], rng)
         if args.plateau_patience > 0:
@@ -343,7 +353,8 @@ def main(args=None):
                 state = skeleton_train.create_state(
                     plateau.next_key(key), lr=args.lr,
                     pose_dim=args.pose_dim, d_inner=args.latent_dim,
-                    warmup_steps=args.warmup_steps)
+                    warmup_steps=args.warmup_steps,
+                    grad_clip=args.grad_clip)
                 if multihost:
                     state = distributed.replicate_to_global(state, mesh)
                 elif mesh is not None:

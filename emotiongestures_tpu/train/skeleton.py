@@ -18,7 +18,8 @@ from .state import TrainState, create_train_state, model_variables
 def create_state(key, lr: float = 3e-4, pose_dim: int = 282,
                  d_model: int = 512, d_inner: int = 2048,
                  weight_decay: float = 0.0,
-                 warmup_steps: int = 0) -> TrainState:
+                 warmup_steps: int = 0,
+                 grad_clip: float = 0.0) -> TrainState:
     """No weight decay by default. The reference ships no skeleton
     trainer (this is a reconstruction); the wd=1e-5 convention copied
     from its AUDIO-classifier script (train_...py:132) is torch-style
@@ -38,7 +39,17 @@ def create_state(key, lr: float = 3e-4, pose_dim: int = 282,
     at ln(4) for 3200 iters; 8 auto-reseeds each pinned at ln(8)),
     while toy width d_model=128 converges without warmup on ~1/3 of
     seeds. Warmup is therefore part of the reconstructed recipe, not a
-    deviation: 0 keeps the round-3 toy protocol byte-identical."""
+    deviation: 0 keeps the round-3 toy protocol byte-identical.
+
+    `grad_clip`: global-norm gradient clipping (0 disables — the
+    round-3/4 protocols unchanged). Needed on AMBIGUOUS data: with the
+    synthetic set's class_overlap > 0 the converged classifier (loss
+    ~1e-3) eventually meets a near-boundary batch whose cross-entropy
+    gradient, amplified by Adam's stale tiny second moments, destroys
+    the network in ONE step (round-5 chain log: loss 0.001 -> 4.05 at
+    iter 340, then pinned at ln(8)=2.079 uniform-logit collapse
+    forever). Clipping bounds that step so the model recovers instead
+    of dying."""
     model = SkeletonTransformer(pose_dim=pose_dim, d_model=d_model,
                                 d_inner=d_inner)
     kp, kd = jax.random.split(key)
@@ -49,6 +60,8 @@ def create_state(key, lr: float = 3e-4, pose_dim: int = 282,
         sched = optax.linear_schedule(0.0, lr, warmup_steps)
     tx = schedules.adam(lr=sched, b1=0.5, b2=0.999,
                         weight_decay=weight_decay)
+    if grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     return create_train_state(model, variables, tx)
 
 
